@@ -1,0 +1,53 @@
+"""Whole-body model: diff-drive base + Panda-3DoF arm composition.
+
+Pure-function re-design of the reference MobileManipulator
+(/root/reference/robot_models/mobile_manipulator.py).
+
+state x = [px, py, psi, dx, dy, dpsi, q1, q2, q3]   (9,)
+input u = [dV, dw, dq1, dq2, dq3]                    (5,)
+"""
+
+import jax.numpy as jnp
+
+from mmmpc_tpu.models.arm import arm_fk, arm_step
+from mmmpc_tpu.models.base import base_step
+from mmmpc_tpu.utils.configs import BASELINK2JOINT1_X, BASELINK2JOINT1_Z
+
+
+def _lift_to_world(p_arm, px, py, cpsi, spsi):
+    """Lift an arm-frame point (x, 0, z) into the world frame.
+
+    Planar rotation of the arm's x-axis by the base yaw plus the base-link ->
+    joint-1 offsets (reference mobile_manipulator.py:36-53; the arm's local y
+    is identically 0, so only the x component rotates).
+    """
+    r = p_arm[0] + BASELINK2JOINT1_X
+    return jnp.stack([px + r * cpsi, py + r * spsi, p_arm[2] + BASELINK2JOINT1_Z])
+
+
+def wholebody_fk(state):
+    """World-frame end-effector pose and joint positions.
+
+    Returns (pose_endpoint (4,) = [x, y, z, psi], pos_joint2 (3,),
+    pos_joint3 (3,)) — reference forward_tranformation
+    (mobile_manipulator.py:17-55): the end-effector yaw is the base yaw.
+    """
+    px, py, psi = state[0], state[1], state[2]
+    q = state[6:9]
+    cpsi, spsi = jnp.cos(psi), jnp.sin(psi)
+    ee, j2, j3 = arm_fk(q)
+    ee_w = _lift_to_world(ee, px, py, cpsi, spsi)
+    j2_w = _lift_to_world(j2, px, py, cpsi, spsi)
+    j3_w = _lift_to_world(j3, px, py, cpsi, spsi)
+    pose_ee = jnp.concatenate([ee_w, psi[None]])
+    return pose_ee, j2_w, j3_w
+
+
+def wholebody_step(x, u, dt):
+    """One Euler step of the composed base+arm kinematics.
+
+    Reference f_kinematics (mobile_manipulator.py:57-75).
+    """
+    x_base = base_step(x[:6], u[:2], dt)
+    q_next = arm_step(x[6:9], u[2:5], dt)
+    return jnp.concatenate([x_base, q_next])
