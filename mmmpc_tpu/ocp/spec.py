@@ -1,0 +1,67 @@
+"""Declarative optimal-control-problem spec.
+
+Replaces the reference's imperative CasADi ``Opti()`` graph construction
+(/root/reference/controllers/mpc_wholebody_qref.py:142-285).  An OCP is a
+bundle of pure functions over (state, input, stage-index, params); the solver
+differentiates them with jax.grad/jacfwd — no symbolic graph, one compiled
+program per problem *shape*, with every runtime quantity (references,
+weights, obstacle poses, constraint toggles) carried in ``params``.
+
+Conventions
+-----------
+- ``dynamics(x, u) -> x_next``                      discrete step, dt closed over
+- ``stage_cost(x, u, k, params) -> scalar``         includes the reference's
+  slack terms as exact ``S * relu(max g)^2`` penalties (see note below)
+- ``terminal_cost(x, params) -> scalar``
+- ``stage_ineq(x, u, k, params) -> (nc,)``          hard constraints c <= 0,
+  enforced by the solver's augmented-Lagrangian outer loop
+- ``terminal_ineq(x, params) -> (nct,)``            hard terminal c <= 0
+- ``terminal_eq(x, params) -> (ne,)``               h == 0 (maskable at runtime;
+  the FSM's injected terminal equality, interface_wholebody_qref.py:167)
+- ``u_lower/u_upper``                               static box used for input
+  clamping in the forward rollout (the reference's ulim)
+
+Slack-variable note
+-------------------
+The reference attaches one slack s_k per step with cost S*s_k^2 and
+constraints g_i <= s_k (mpc_wholebody_qref.py:154,208-227).  At the optimum
+s_k* = max(0, max_i g_i), so the slack block is *exactly* the penalty
+S * relu(max_i g_i)^2 — a C^1 function we fold into the stage cost instead of
+carrying slack decision variables.  This removes N+1 variables and all slack
+rows from the KKT system while preserving the solution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+
+def _zero_vec(*_args):
+    return jnp.zeros((0,))
+
+
+@dataclasses.dataclass(frozen=True)
+class OCP:
+    """A fixed-shape optimal control problem over horizon N."""
+
+    nx: int
+    nu: int
+    N: int
+    dynamics: Callable          # (x, u) -> x_next
+    stage_cost: Callable        # (x, u, k, params) -> scalar
+    terminal_cost: Callable     # (x, params) -> scalar
+    stage_ineq: Callable = _zero_vec      # (x, u, k, params) -> (nc,)
+    terminal_ineq: Callable = _zero_vec   # (x, params) -> (nct,)
+    terminal_eq: Callable = _zero_vec     # (x, params) -> (ne,)
+    u_lower: Optional[jnp.ndarray] = None   # (nu,) static clamp, -inf ok
+    u_upper: Optional[jnp.ndarray] = None
+
+    def clamp_u(self, u):
+        if self.u_lower is None and self.u_upper is None:
+            return u
+        lo = -jnp.inf if self.u_lower is None else self.u_lower
+        hi = jnp.inf if self.u_upper is None else self.u_upper
+        return jnp.clip(u, lo, hi)

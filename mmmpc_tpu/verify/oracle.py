@@ -1,0 +1,97 @@
+"""CPU oracle: solve the same OCP with scipy's interior-point method.
+
+Plays the role the CasADi/IPOPT stack plays for the reference (BASELINE.json:
+"Control sequences must match the reference solver within tolerance").
+CasADi is not available in this image, so the oracle is scipy
+``trust-constr`` — an interior-point NLP method of the same family as IPOPT —
+applied to the *same* OCP functions the TPU solver consumes, with exact
+JAX-computed gradients/Jacobians.  Agreement between two unrelated solvers on
+the same problem is the fidelity evidence; the formulation itself is tied to
+the reference by construction (see ocp/spec.py and controllers/*).
+
+Decision variables are the inputs only (single shooting): the dynamics are
+eliminated by rollout, input boxes become scipy Bounds, remaining hard
+constraints become NonlinearConstraint blocks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.optimize as sopt
+
+from mmmpc_tpu.ocp.spec import OCP
+from mmmpc_tpu.solver.al_ilqr import _objective
+
+
+def _plain_rollout(ocp: OCP, x0, U):
+    def step(x, u):
+        x_next = ocp.dynamics(x, u)
+        return x_next, x
+
+    x_last, Xs = jax.lax.scan(step, x0, U)
+    return jnp.concatenate([Xs, x_last[None, :]], axis=0)
+
+
+def scipy_solve(ocp: OCP, x0, U_init, params, maxiter: int = 1000,
+                gtol: float = 1e-9, xtol: float = 1e-12):
+    """Returns (U, X, cost, scipy_result)."""
+    N, nu, nx = ocp.N, ocp.nu, ocp.nx
+    x0 = jnp.asarray(x0, jnp.float64)
+    ks = jnp.arange(N)
+
+    def obj(z):
+        U = z.reshape(N, nu)
+        X = _plain_rollout(ocp, x0, U)
+        return _objective(ocp, X, U, params)
+
+    def cons_ineq(z):
+        U = z.reshape(N, nu)
+        X = _plain_rollout(ocp, x0, U)
+        cs = jax.vmap(lambda x, u, k: ocp.stage_ineq(x, u, k, params))(
+            X[:-1], U, ks).reshape(-1)
+        ct = ocp.terminal_ineq(X[-1], params)
+        return jnp.concatenate([cs, ct])
+
+    def cons_eq(z):
+        U = z.reshape(N, nu)
+        X = _plain_rollout(ocp, x0, U)
+        return ocp.terminal_eq(X[-1], params)
+
+    obj_j = jax.jit(obj)
+    grad_j = jax.jit(jax.grad(obj))
+    z0 = np.asarray(U_init, dtype=np.float64).reshape(-1)
+
+    constraints = []
+    n_ineq = int(jax.eval_shape(cons_ineq, jnp.zeros(N * nu)).shape[0])
+    if n_ineq:
+        ci = jax.jit(cons_ineq)
+        Ji = jax.jit(jax.jacfwd(cons_ineq))
+        constraints.append(sopt.NonlinearConstraint(
+            lambda z: np.asarray(ci(z)), -np.inf, 0.0,
+            jac=lambda z: np.asarray(Ji(z))))
+    n_eq = int(jax.eval_shape(cons_eq, jnp.zeros(N * nu)).shape[0])
+    if n_eq:
+        ce = jax.jit(cons_eq)
+        Je = jax.jit(jax.jacfwd(cons_eq))
+        constraints.append(sopt.NonlinearConstraint(
+            lambda z: np.asarray(ce(z)), 0.0, 0.0,
+            jac=lambda z: np.asarray(Je(z))))
+
+    bounds = None
+    if ocp.u_lower is not None or ocp.u_upper is not None:
+        lo = np.tile(np.asarray(ocp.u_lower, dtype=np.float64)
+                     if ocp.u_lower is not None else -np.inf, N)
+        hi = np.tile(np.asarray(ocp.u_upper, dtype=np.float64)
+                     if ocp.u_upper is not None else np.inf, N)
+        bounds = sopt.Bounds(lo, hi)
+
+    res = sopt.minimize(
+        lambda z: float(obj_j(z)), z0, jac=lambda z: np.asarray(grad_j(z)),
+        method="trust-constr", bounds=bounds, constraints=constraints,
+        options={"maxiter": maxiter, "gtol": gtol, "xtol": xtol})
+
+    U = jnp.asarray(res.x.reshape(N, nu))
+    X = _plain_rollout(ocp, x0, U)
+    return U, X, float(obj_j(res.x)), res
