@@ -1,0 +1,82 @@
+"""Shared controller plumbing.
+
+Every controller follows the reference's 3-method protocol
+(__init__ / reset / solve, SURVEY.md §1 L3) but compiles its OCP once and
+re-solves with runtime parameters — the TPU analogue of the reference's
+``opti.parameter`` mechanism that lets one built problem serve every control
+tick and task phase without recompilation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmmpc_tpu.solver import al_ilqr_solve
+from mmmpc_tpu.utils.configs import SolverConfig
+
+
+def finite_bound_masks(lim):
+    """Split a (2, n) [lower; upper] bound array into dense values + masks.
+
+    Infinite entries are masked out (emitted as always-satisfied rows) so the
+    constraint vector keeps a static shape.
+    """
+    lo = np.asarray(lim[0], dtype=float)
+    hi = np.asarray(lim[1], dtype=float)
+    mask_lo = np.isfinite(lo)
+    mask_hi = np.isfinite(hi)
+    lo = np.where(mask_lo, lo, 0.0)
+    hi = np.where(mask_hi, hi, 0.0)
+    return (jnp.asarray(lo), jnp.asarray(hi),
+            jnp.asarray(mask_lo), jnp.asarray(mask_hi))
+
+
+def as_weight_matrix(value, n):
+    """Accept scalars, diagonals, or full matrices (the reference passes
+    np.diag(...) everywhere, including 1x1 'matrices' for scalar weights)."""
+    v = np.asarray(value, dtype=float)
+    if v.ndim == 0:
+        return jnp.asarray(v * np.eye(n))
+    if v.ndim == 1:
+        return jnp.asarray(np.diag(v))
+    return jnp.asarray(v)
+
+
+def scalar_weight(value):
+    """The reference's S / M slack weights arrive as np.diag([w])."""
+    v = np.asarray(value, dtype=float)
+    return jnp.asarray(v.reshape(-1)[0])
+
+
+class ControllerBase:
+    """Warm-start bookkeeping + jitted solve shared by all controllers."""
+
+    def __init__(self, ocp, solver_config: SolverConfig | None = None):
+        self.ocp = ocp
+        self.solver_config = solver_config or SolverConfig()
+        self.N = ocp.N
+        self.u_latest = None
+        self.last_result = None
+        self._jit_solve = jax.jit(
+            lambda x0, U0, params: al_ilqr_solve(
+                self.ocp, x0, U0, params, self.solver_config))
+
+    # -- functional access (batching / sharding layers build on these) -----
+    def solve_fn(self):
+        """(x0, U_warm, params) -> SolveResult, pure and jit/vmap-safe."""
+        ocp, cfg = self.ocp, self.solver_config
+        return lambda x0, U0, params: al_ilqr_solve(ocp, x0, U0, params, cfg)
+
+    def reset_warmstart(self):
+        self.u_latest = None
+
+    def _solve_impl(self, x_init, params):
+        if self.u_latest is None:
+            self.u_latest = jnp.zeros((self.N, self.ocp.nu))
+        params = dict(params, U_last=self.u_latest)
+        res = self._jit_solve(jnp.asarray(x_init), self.u_latest, params)
+        self.u_latest = res.U
+        self.last_result = res
+        return np.asarray(res.U[0])

@@ -1,0 +1,64 @@
+"""1-D point-mass demo MPC — the simplest instance of the controller pattern.
+
+Reference: /root/reference/controllers/mpc_demo.py.  Double integrator,
+position/velocity tracking, acceleration input box, hard velocity box on the
+running states (the reference leaves the terminal state unbounded; kept).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mmmpc_tpu.controllers.common import ControllerBase, as_weight_matrix
+from mmmpc_tpu.models.point_mass import point_mass_step
+from mmmpc_tpu.ocp import OCP
+from mmmpc_tpu.utils.configs import SolverConfig
+
+
+class MPC(ControllerBase):
+    NX, NU = 2, 1
+
+    def __init__(self, robot, N=10, Q=np.diag([1.0, 0.0]),
+                 P=np.diag([1.0, 0.0]), R=np.diag([0.1]),
+                 vlim=(-1, 1), alim=(-5, 5),
+                 solver_config: SolverConfig | None = None):
+        self.dt = robot.dt
+        self.vlim = vlim
+        self.Q_value = as_weight_matrix(Q, self.NX)
+        self.P_value = as_weight_matrix(P, self.NX)
+        self.R_value = as_weight_matrix(R, self.NU)
+        dt = self.dt
+
+        def stage_cost(x, u, k, p):
+            ex = x - p["X_ref"][k]
+            eu = u - p["U_ref"][k]
+            return ex @ p["Q"] @ ex + eu @ p["R"] @ eu
+
+        def terminal_cost(x, p):
+            ex = x - p["X_ref"][N]
+            return ex @ p["P"] @ ex
+
+        def stage_ineq(x, u, k, p):
+            return jnp.stack([x[1] - vlim[1], vlim[0] - x[1]])
+
+        ocp = OCP(nx=self.NX, nu=self.NU, N=N,
+                  dynamics=lambda x, u: point_mass_step(x, u, dt),
+                  stage_cost=stage_cost, terminal_cost=terminal_cost,
+                  stage_ineq=stage_ineq,
+                  u_lower=jnp.asarray([float(alim[0])]),
+                  u_upper=jnp.asarray([float(alim[1])]))
+        super().__init__(ocp, solver_config or SolverConfig())
+        self.reset()
+
+    def reset(self):
+        self.reset_warmstart()
+
+    def make_params(self, traj_ref, u_ref):
+        return {"X_ref": jnp.asarray(traj_ref), "U_ref": jnp.asarray(u_ref),
+                "Q": self.Q_value, "R": self.R_value, "P": self.P_value}
+
+    def solve(self, x_init, traj_ref, u_ref):
+        u_ref = np.asarray(u_ref, dtype=float).reshape(self.N, self.NU)
+        return self._solve_impl(np.asarray(x_init, dtype=float),
+                                self.make_params(traj_ref, u_ref))

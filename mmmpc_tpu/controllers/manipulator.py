@@ -1,0 +1,157 @@
+"""3-DoF arm joint-space MPC with self-collision and convex obstacles.
+
+Reference: /root/reference/controllers/mpc_manipulator_3DoF.py.
+Peculiarities kept:
+- self-collision spheres are HARD constraints here (no slack;
+  mpc_manipulator_3DoF.py:86-89) — they go to the AL inequality block,
+- the convex (half-plane union) obstacle uses its own per-stage slack with
+  module weight 1e6 (mpc_manipulator_3DoF.py:5,91-93) — folded as
+  1e6 * relu(max_i -maxc_i)^2,
+- no obstacle expansion margin in this controller (unlike the whole-body
+  one), positions are in the ARM frame,
+- M here is the input-rate (control change) weight, not a slack weight,
+- optional Cartesian reference (is_cartesian_ref) tracks the end-point
+  position instead of joint angles.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from mmmpc_tpu.controllers.common import (
+    ControllerBase, as_weight_matrix, finite_bound_masks,
+)
+from mmmpc_tpu.models.arm import arm_fk, arm_step
+from mmmpc_tpu.ocp import OCP
+from mmmpc_tpu.ocp.constraints import (
+    halfplane_union_g, manipulator_sample_points, relu_max_penalty,
+    self_collision_g,
+)
+from mmmpc_tpu.utils.configs import SolverConfig
+
+PI = math.pi
+SLACK_WEIGHT = 1e6   # reference WEIGHT (mpc_manipulator_3DoF.py:5)
+
+
+class MPCManipulator3DoF(ControllerBase):
+    NX, NU = 3, 3
+
+    def __init__(self, robot, obstacle_surfaces_manipulation,
+                 obstacle_point_manipulation, N=10,
+                 Q=np.diag([1, 1.0, 1]), P=np.diag([1, 1.0, 1]),
+                 R=np.diag([0.1, 0.1, 0.1]),
+                 M=np.diag([1e-2, 1e-2, 1e-2]),
+                 qlim=(np.array([-PI / 2, -PI, 0]), np.array([PI / 2, 0, PI])),
+                 dqlim=(np.array([-1, -1, -1.0]), np.array([1, 1, 1.0])),
+                 ddqlim=(np.array([-0.5] * 3), np.array([0.5] * 3)),
+                 is_cartesian_ref: bool = False,
+                 solver_config: SolverConfig | None = None):
+        self.robot_model = robot
+        self.dt = robot.dt
+        self.qlim = (np.asarray(qlim[0], dtype=float).reshape(-1),
+                     np.asarray(qlim[1], dtype=float).reshape(-1))
+        self.dqlim = (np.asarray(dqlim[0], dtype=float).reshape(-1),
+                      np.asarray(dqlim[1], dtype=float).reshape(-1))
+        self.ddqlim = (np.asarray(ddqlim[0], dtype=float).reshape(-1),
+                       np.asarray(ddqlim[1], dtype=float).reshape(-1))
+        self.Q_value = as_weight_matrix(Q, self.NX)
+        self.P_value = as_weight_matrix(P, self.NX)
+        self.R_value = as_weight_matrix(R, self.NU)
+        self.M_value = as_weight_matrix(M, self.NU)
+        self.is_cartesian_ref = is_cartesian_ref
+
+        # half-plane obstacle (single union; arm frame, no expansion)
+        point = np.asarray(obstacle_point_manipulation, dtype=float)
+        self.has_obstacle = point.size > 0
+        normals = [np.asarray(n, dtype=float).reshape(3)
+                   for n in obstacle_surfaces_manipulation] \
+            if self.has_obstacle else []
+        n_hp = max(len(normals), 1)
+        hp_pts = np.zeros((n_hp, 3))
+        hp_nrm = np.zeros((n_hp, 3))
+        hp_msk = np.zeros((n_hp,))
+        for j, nvec in enumerate(normals):
+            hp_pts[j] = point.reshape(3)
+            hp_nrm[j] = nvec
+            hp_msk[j] = 1.0
+        self.hp_points_value = jnp.asarray(hp_pts)
+        self.hp_normals_value = jnp.asarray(hp_nrm)
+        self.hp_mask_value = jnp.asarray(hp_msk)
+
+        dt = self.dt
+        qlo = jnp.asarray(self.qlim[0])
+        qhi = jnp.asarray(self.qlim[1])
+        ddlo = jnp.asarray(self.ddqlim[0])
+        ddhi = jnp.asarray(self.ddqlim[1])
+        cartesian = self.is_cartesian_ref
+
+        def dynamics(q, dq):
+            return arm_step(q, dq, dt)
+
+        def slack_pen(q, p):
+            ee, j2, j3 = arm_fk(q)
+            pts = manipulator_sample_points(ee, j2, j3)
+            g = halfplane_union_g(pts, p["hp_points"], p["hp_normals"],
+                                  p["hp_mask"], expand=0.0)
+            return relu_max_penalty(g, SLACK_WEIGHT)
+
+        def state_error(q, ref):
+            if cartesian:
+                ee, _, _ = arm_fk(q)
+                return ee - ref
+            return q - ref
+
+        def stage_cost(q, dq, k, p):
+            e = state_error(q, p["X_ref"][k])
+            eu = dq - p["U_ref"][k]
+            edu = dq - p["U_last"][k]
+            c = e @ p["Q"] @ e + eu @ p["R"] @ eu + edu @ p["M"] @ edu
+            return c + slack_pen(q, p)
+
+        def terminal_cost(q, p):
+            e = state_error(q, p["X_ref"][N])
+            return e @ p["P"] @ e + slack_pen(q, p)
+
+        def selfcol(q):
+            ee, j2, j3 = arm_fk(q)
+            # hard: 0.05 - ||p_i - ee|| <= 0 (reference :86-89)
+            return self_collision_g(ee, j2, j3)
+
+        def stage_ineq(q, dq, k, p):
+            gq = jnp.concatenate([q - qhi, qlo - q])
+            edu = dq - p["U_last"][k]
+            gdd = jnp.concatenate([edu - ddhi, ddlo - edu])
+            return jnp.concatenate([gq, gdd, selfcol(q)])
+
+        def terminal_ineq(q, p):
+            gq = jnp.concatenate([q - qhi, qlo - q])
+            return jnp.concatenate([gq, selfcol(q)])
+
+        ocp = OCP(nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,
+                  stage_cost=stage_cost, terminal_cost=terminal_cost,
+                  stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
+                  u_lower=jnp.asarray(self.dqlim[0]),
+                  u_upper=jnp.asarray(self.dqlim[1]))
+        super().__init__(ocp, solver_config or SolverConfig())
+        self.reset()
+
+    def reset(self):
+        self.reset_warmstart()
+
+    def make_params(self, traj_ref, u_ref):
+        return {"X_ref": jnp.asarray(traj_ref), "U_ref": jnp.asarray(u_ref),
+                "Q": self.Q_value, "R": self.R_value, "P": self.P_value,
+                "M": self.M_value,
+                "hp_points": self.hp_points_value,
+                "hp_normals": self.hp_normals_value,
+                "hp_mask": self.hp_mask_value}
+
+    def solve(self, x_init, traj_ref, u_ref):
+        x_init = np.asarray(x_init, dtype=float).copy()
+        # clamp infeasible sensor feedback (reference :134-135)
+        x_init = np.clip(x_init, self.qlim[0], self.qlim[1])
+        assert x_init[1] <= 0 and x_init[2] >= 0
+        return self._solve_impl(x_init, self.make_params(traj_ref, u_ref))

@@ -1,0 +1,254 @@
+"""Whole-body MPC with joint-space reference — THE main controller.
+
+TPU-native re-design of the reference MPCWholeBody
+(/root/reference/controllers/mpc_wholebody_qref.py): 9-state / 5-input
+receding-horizon MPC with
+
+- state/input/input-rate quadratic tracking costs (Q, R, W) and terminal P,
+- ground circle obstacles, half-plane-union manipulator obstacles and
+  self-collision spheres folded into the exact slack penalty S*relu(max g)^2
+  (see ocp/spec.py for the equivalence proof sketch),
+- hard state boxes, input boxes (clamped + AL), input-rate boxes,
+- runtime-mutable weights (setWeight) and a runtime-maskable terminal
+  position equality (the FSM-injected constraint, interface:167) — all as
+  jit *arguments*, so task-phase switches never recompile,
+- warm-started U / U_last coupling and the return-u[0] protocol
+  (mpc_wholebody_qref.py:287-331).
+
+The reference's terminal-block bug — terminal self-collision constrained
+against the stale stage slack s[N-1] (mpc_wholebody_qref.py:263-265) — is
+replicated by folding the terminal self-collision values into stage N-1's
+penalty group (X_N is reconstructed from (x_{N-1}, u_{N-1}) via the
+dynamics); set ``replicate_terminal_selfcol_bug=False`` for the fixed
+formulation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from mmmpc_tpu.controllers.common import (
+    ControllerBase, as_weight_matrix, finite_bound_masks, scalar_weight,
+)
+from mmmpc_tpu.models.mobile_manipulator import wholebody_fk, wholebody_step
+from mmmpc_tpu.models.obstacles import ground_obstacle_array
+from mmmpc_tpu.ocp import OCP
+from mmmpc_tpu.ocp.constraints import (
+    _NEG_BIG, box_g, ground_circle_g, halfplane_union_g,
+    manipulator_sample_points, relu_max_penalty, self_collision_g,
+)
+from mmmpc_tpu.utils.configs import SolverConfig
+
+PI = math.pi
+
+_DEFAULT_Q = 5 * np.diag([5, 5, 0, 0, 0, 1, 1, 1, 1.0])
+_DEFAULT_R = np.diag([0.1, 0.1, 0.0, 0.0, 0.0])
+_DEFAULT_S = np.diag([1e5])
+_DEFAULT_W = np.diag([0, 0, 1e-1, 1e-1, 1e-1])
+_DEFAULT_ULIM = np.array([[-2, -PI, -1, -1, -1], [2, PI, 1, 1, 1.0]])
+_DEFAULT_XLIM = np.array([
+    [-100, -100, -np.inf, -2, -2, -PI, -PI / 2, -PI, 0],
+    [100, 100, np.inf, 2, 2, PI, PI / 2, 0, 3 * PI / 2],
+])
+_DEFAULT_DULIM = np.array([
+    [-np.inf, -np.inf, -0.5, -0.5, -0.5],
+    [np.inf, np.inf, 0.5, 0.5, 0.5],
+])
+
+
+class MPCWholeBody(ControllerBase):
+    NX, NU = 9, 5
+
+    def __init__(self, robot, obstacle_list, obstacle_manipulation_list,
+                 N=10, Q=_DEFAULT_Q, P=_DEFAULT_Q, R=_DEFAULT_R,
+                 S=_DEFAULT_S, W=_DEFAULT_W,
+                 ulim=_DEFAULT_ULIM, xlim=_DEFAULT_XLIM, dulim=_DEFAULT_DULIM,
+                 solver_config: SolverConfig | None = None,
+                 replicate_terminal_selfcol_bug: bool = True,
+                 n_hp_pad: int | None = None,
+                 moving_obstacles: bool = False):
+        self.robot_model = robot
+        self.dt = robot.dt
+        self.base_radius = robot.base.base_radius()
+        self.f_dynamics = robot.f_kinematics
+        self.moving_obstacles = moving_obstacles
+        self.replicate_terminal_selfcol_bug = replicate_terminal_selfcol_bug
+
+        # runtime weight state (reference setWeight mechanism)
+        self.Q_value = as_weight_matrix(Q, self.NX)
+        self.P_value = as_weight_matrix(P, self.NX)
+        self.R_value = as_weight_matrix(R, self.NU)
+        self.W_value = as_weight_matrix(W, self.NU)
+        self.S_value = scalar_weight(S)
+
+        self.ulim = np.asarray(ulim, dtype=float)
+        self.xlim = np.asarray(xlim, dtype=float)
+        self.dulim = np.asarray(dulim, dtype=float)
+
+        # obstacle data (runtime arrays, static shapes)
+        self.obstacle_list = obstacle_list
+        self.obstacle_manipulation_list = obstacle_manipulation_list
+        obs = ground_obstacle_array(obstacle_list)
+        self.n_obs = obs.shape[0]
+        self.obstacles_value = jnp.asarray(obs)
+        n_hp = max(len(obstacle_manipulation_list), 1)
+        self.n_hp = n_hp_pad or n_hp
+        pts = np.zeros((self.n_hp, 3))
+        nrm = np.zeros((self.n_hp, 3))
+        msk = np.zeros((self.n_hp,))
+        for j, (p, nvec) in enumerate(obstacle_manipulation_list):
+            pts[j] = np.asarray(p, dtype=float).reshape(3)
+            nrm[j] = np.asarray(nvec, dtype=float).reshape(3)
+            msk[j] = 1.0
+        self.hp_points_value = jnp.asarray(pts)
+        self.hp_normals_value = jnp.asarray(nrm)
+        self.hp_mask_value = jnp.asarray(msk)
+
+        # FSM-injected terminal position equality, off by default
+        self.terminal_eq_mask = jnp.asarray(0.0)
+
+        self._x_lo, self._x_hi, self._x_mlo, self._x_mhi = \
+            finite_bound_masks(self.xlim)
+        self._du_lo, self._du_hi, self._du_mlo, self._du_mhi = \
+            finite_bound_masks(self.dulim)
+
+        ocp = self._build_ocp(N)
+        super().__init__(ocp, solver_config or SolverConfig())
+        self.reset()
+
+    # ------------------------------------------------------------------
+    def _build_ocp(self, N):
+        dt = self.dt
+        bug_compat = self.replicate_terminal_selfcol_bug
+        base_radius = self.base_radius
+        moving = self.moving_obstacles
+
+        def dynamics(x, u):
+            return wholebody_step(x, u, dt)
+
+        def slack_group(x, params, k):
+            obs = params["obstacles"][k] if moving else params["obstacles"]
+            pose_ee, j2, j3 = wholebody_fk(x)
+            ee = pose_ee[:3]
+            g_ground = ground_circle_g(x[0], x[1], obs, base_radius)
+            pts = manipulator_sample_points(ee, j2, j3)
+            g_hp = halfplane_union_g(pts, params["hp_points"],
+                                     params["hp_normals"], params["hp_mask"])
+            g_self = self_collision_g(ee, j2, j3)
+            return jnp.concatenate([g_ground, g_self, g_hp])
+
+        def terminal_selfcol(x):
+            pose_ee, j2, j3 = wholebody_fk(x)
+            return self_collision_g(pose_ee[:3], j2, j3)
+
+        def stage_cost(x, u, k, p):
+            ex = x - p["X_ref"][k]
+            eu = u - p["U_ref"][k]
+            edu = u - p["U_last"][k]
+            cost = ex @ p["Q"] @ ex + eu @ p["R"] @ eu + edu @ p["W"] @ edu
+            g = slack_group(x, p, k)
+            if bug_compat:
+                # terminal self-collision rides stage N-1's slack (reference
+                # mpc_wholebody_qref.py:263-265 uses the stale loop index)
+                g_term = terminal_selfcol(dynamics(x, u))
+                g_term = jnp.where(k == N - 1, g_term, _NEG_BIG)
+                g = jnp.concatenate([g, g_term])
+            return cost + relu_max_penalty(g, p["S"])
+
+        def terminal_cost(x, p):
+            ex = x - p["X_ref"][N]
+            cost = ex @ p["P"] @ ex
+            obs = p["obstacles"][N] if moving else p["obstacles"]
+            pose_ee, j2, j3 = wholebody_fk(x)
+            ee = pose_ee[:3]
+            g_ground = ground_circle_g(x[0], x[1], obs, base_radius)
+            pts = manipulator_sample_points(ee, j2, j3)
+            g_hp = halfplane_union_g(pts, p["hp_points"], p["hp_normals"],
+                                     p["hp_mask"])
+            parts = [g_ground, g_hp]
+            if not bug_compat:
+                parts.append(self_collision_g(ee, j2, j3))
+            g = jnp.concatenate(parts)
+            return cost + relu_max_penalty(g, p["S"])
+
+        x_lo, x_hi, x_mlo, x_mhi = (self._x_lo, self._x_hi,
+                                    self._x_mlo, self._x_mhi)
+        du_lo, du_hi, du_mlo, du_mhi = (self._du_lo, self._du_hi,
+                                        self._du_mlo, self._du_mhi)
+
+        def stage_ineq(x, u, k, p):
+            gx = box_g(x, x_lo, x_hi, x_mlo, x_mhi)
+            gdu = box_g(u - p["U_last"][k], du_lo, du_hi, du_mlo, du_mhi)
+            return jnp.concatenate([gx, gdu])
+
+        def terminal_ineq(x, p):
+            return box_g(x, x_lo, x_hi, x_mlo, x_mhi)
+
+        def terminal_eq(x, p):
+            return p["eq_mask"] * (x[:2] - p["X_ref"][N, :2])
+
+        return OCP(
+            nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,
+            stage_cost=stage_cost, terminal_cost=terminal_cost,
+            stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
+            terminal_eq=terminal_eq,
+            u_lower=jnp.asarray(self.ulim[0]),
+            u_upper=jnp.asarray(self.ulim[1]))
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        """Clear warm-start state (the reference rebuilds its Opti here; our
+        compiled program is parameterized, so nothing to rebuild)."""
+        self.reset_warmstart()
+        self.x_guess = None
+
+    def setWeight(self, Q=None, R=None, P=None, S=None, W=None):
+        """Runtime weight mutation (reference mpc_wholebody_qref.py:119-139)."""
+        if Q is not None:
+            self.Q_value = as_weight_matrix(Q, self.NX)
+        if R is not None:
+            self.R_value = as_weight_matrix(R, self.NU)
+        if P is not None:
+            self.P_value = as_weight_matrix(P, self.NX)
+        if S is not None:
+            self.S_value = scalar_weight(S)
+        if W is not None:
+            self.W_value = as_weight_matrix(W, self.NU)
+
+    def add_terminal_position_constraint(self):
+        """Enable the FSM-injected hard terminal equality
+        X[N, :2] == X_ref[N, :2] (reference interface:167) — a runtime mask
+        flip, no recompilation."""
+        self.terminal_eq_mask = jnp.asarray(1.0)
+
+    def set_obstacles(self, obstacles):
+        """Update ground-obstacle positions (same count) at runtime."""
+        self.obstacles_value = jnp.asarray(obstacles)
+
+    def make_params(self, traj_ref, u_ref):
+        return {
+            "X_ref": jnp.asarray(traj_ref),
+            "U_ref": jnp.asarray(u_ref),
+            "Q": self.Q_value, "R": self.R_value, "P": self.P_value,
+            "S": self.S_value, "W": self.W_value,
+            "obstacles": self.obstacles_value,
+            "hp_points": self.hp_points_value,
+            "hp_normals": self.hp_normals_value,
+            "hp_mask": self.hp_mask_value,
+            "eq_mask": self.terminal_eq_mask,
+        }
+
+    def solve(self, x_init, traj_ref, u_ref):
+        """One receding-horizon solve; returns u[0] as a numpy (5,) array."""
+        x_init = np.asarray(x_init, dtype=float).copy()
+        # clamp infeasible sensor feedback into bounds (reference solve:290-292)
+        x_init = np.clip(x_init, self.xlim[0], self.xlim[1])
+        assert x_init[7] <= 0 and x_init[8] >= 0
+        return self._solve_impl(x_init, self.make_params(traj_ref, u_ref))
+
+    def angleDiff(self, a, b):
+        from mmmpc_tpu.utils.math import angle_diff
+        return angle_diff(a, b)

@@ -1,0 +1,97 @@
+"""Scaling layer: vmap within a chip, shard_map across the device mesh.
+
+The reference is a single-process synchronous loop — one IPOPT solve per
+control tick (SURVEY.md §2.3).  The TPU-native scaling unit is the *solve*:
+thousands of scenarios (initial states x obstacle layouts x references) are
+vmapped into one compiled program per chip and sharded across chips over a
+1-D ``("data",)`` mesh.  Cross-chip aggregates (throughput counts,
+constraint-violation maxima, convergence fractions) ride ICI collectives
+(psum/pmax) inside the same compiled program, so multi-host benchmarking
+needs no host-side gather.
+
+Tensor/pipeline/sequence/expert parallelism are deliberately absent: at
+nx=9 / nu=5 / N<=20 a single solve is far below one core's compute, so the
+scaling dimension is the scenario batch (see SURVEY.md §2.3's analysis).
+Long-horizon intra-solve parallelism would be an associative-scan Riccati,
+which stays chip-local.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class BatchStats(NamedTuple):
+    """Mesh-global batch statistics, reduced over ICI."""
+    n_solved: jnp.ndarray          # total solves in the global batch
+    n_converged: jnp.ndarray       # solves meeting the constraint tolerance
+    max_violation: jnp.ndarray     # worst hard-constraint violation anywhere
+    mean_cost: jnp.ndarray
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    """A 1-D data mesh over all (or the given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices).reshape(-1), (axis_name,))
+
+
+def batched_solve_fn(solve_fn):
+    """vmap a single-scenario solve over (x0, U0) batches with shared params.
+
+    solve_fn: (x0, U0, params) -> SolveResult.  Returns (results, stats)
+    where stats are single-chip aggregates.
+    """
+
+    def run(x0_b, U0_b, params):
+        res = jax.vmap(lambda x0, U0: solve_fn(x0, U0, params))(x0_b, U0_b)
+        stats = BatchStats(
+            n_solved=jnp.asarray(x0_b.shape[0], jnp.float32),
+            n_converged=jnp.sum(res.converged.astype(jnp.float32)),
+            max_violation=jnp.max(res.max_violation),
+            mean_cost=jnp.mean(res.cost),
+        )
+        return res, stats
+
+    return run
+
+
+def sharded_solve_fn(solve_fn, mesh: Mesh, axis_name: str = "data"):
+    """shard_map the batched solve over the mesh's data axis.
+
+    The per-chip shard runs the vmapped solve; BatchStats are reduced with
+    psum/pmax over ICI inside the compiled program.  Batch size must divide
+    by the mesh size.  Returns a jitted callable
+    (x0_b, U0_b, params) -> (SolveResult sharded over batch, BatchStats
+    replicated).
+    """
+    run = batched_solve_fn(solve_fn)
+
+    def shard_body(x0_b, U0_b, params):
+        res, stats = run(x0_b, U0_b, params)
+        stats = BatchStats(
+            n_solved=jax.lax.psum(stats.n_solved, axis_name),
+            n_converged=jax.lax.psum(stats.n_converged, axis_name),
+            max_violation=jax.lax.pmax(stats.max_violation, axis_name),
+            mean_cost=jax.lax.pmean(stats.mean_cost, axis_name),
+        )
+        return res, stats
+
+    sharded = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P()),
+        out_specs=(P(axis_name), P()),
+        check_vma=False)
+
+    def run_sharded(x0_b, U0_b, params):
+        x0_b = jax.device_put(
+            x0_b, NamedSharding(mesh, P(axis_name)))
+        U0_b = jax.device_put(
+            U0_b, NamedSharding(mesh, P(axis_name)))
+        return jax.jit(sharded)(x0_b, U0_b, params)
+
+    return run_sharded

@@ -1,1 +1,1 @@
-from mmmpc_tpu.verify.oracle import scipy_solve  # noqa: F401
+from mmmpc_tpu.verify.oracle import lbfgs_solve, scipy_solve  # noqa: F401

@@ -66,11 +66,18 @@ def scipy_solve(ocp: OCP, x0, U_init, params, maxiter: int = 1000,
     constraints = []
     n_ineq = int(jax.eval_shape(cons_ineq, jnp.zeros(N * nu)).shape[0])
     if n_ineq:
-        ci = jax.jit(cons_ineq)
-        Ji = jax.jit(jax.jacfwd(cons_ineq))
-        constraints.append(sopt.NonlinearConstraint(
-            lambda z: np.asarray(ci(z)), -np.inf, 0.0,
-            jac=lambda z: np.asarray(Ji(z))))
+        # Masked-out constraint rows are the constant -1e9 "satisfied by a
+        # wide margin" sentinel (ocp/constraints.py); their zero Jacobian
+        # rows make trust-constr's projections singular — drop them.
+        c_probe = np.asarray(jax.jit(cons_ineq)(jnp.asarray(z0)))
+        keep = np.where(c_probe > -1e8)[0]
+        if keep.size:
+            keep_j = jnp.asarray(keep)
+            ci = jax.jit(lambda z: cons_ineq(z)[keep_j])
+            Ji = jax.jit(jax.jacfwd(lambda z: cons_ineq(z)[keep_j]))
+            constraints.append(sopt.NonlinearConstraint(
+                lambda z: np.asarray(ci(z)), -np.inf, 0.0,
+                jac=lambda z: np.asarray(Ji(z))))
     n_eq = int(jax.eval_shape(cons_eq, jnp.zeros(N * nu)).shape[0])
     if n_eq:
         ce = jax.jit(cons_eq)
@@ -95,3 +102,36 @@ def scipy_solve(ocp: OCP, x0, U_init, params, maxiter: int = 1000,
     U = jnp.asarray(res.x.reshape(N, nu))
     X = _plain_rollout(ocp, x0, U)
     return U, X, float(obj_j(res.x)), res
+
+
+def lbfgs_solve(ocp: OCP, x0, U_init, params, maxiter: int = 5000):
+    """Second, independent oracle: L-BFGS-B on the single-shooting objective
+    with the input box as bounds.
+
+    Exact when no other hard constraint is active at the optimum (the
+    objective already contains the reference's soft slack penalties); a lower
+    bound (relaxation) otherwise, since state/rate boxes are ignored.
+    Returns (U, X, cost, scipy_result).
+    """
+    N, nu = ocp.N, ocp.nu
+    x0 = jnp.asarray(x0, jnp.float64)
+
+    def obj(z):
+        U = z.reshape(N, nu)
+        X = _plain_rollout(ocp, x0, U)
+        return _objective(ocp, X, U, params)
+
+    obj_j = jax.jit(obj)
+    grad_j = jax.jit(jax.grad(obj))
+    lo = np.tile(np.asarray(ocp.u_lower, dtype=np.float64)
+                 if ocp.u_lower is not None else -np.inf, N)
+    hi = np.tile(np.asarray(ocp.u_upper, dtype=np.float64)
+                 if ocp.u_upper is not None else np.inf, N)
+    res = sopt.minimize(
+        lambda z: float(obj_j(z)), np.asarray(U_init, dtype=np.float64).ravel(),
+        jac=lambda z: np.asarray(grad_j(z)), method="L-BFGS-B",
+        bounds=sopt.Bounds(lo, hi),
+        options={"maxiter": maxiter, "ftol": 1e-14, "gtol": 1e-12})
+    U = jnp.asarray(res.x.reshape(N, nu))
+    X = _plain_rollout(ocp, x0, U)
+    return U, X, float(res.fun), res
