@@ -94,16 +94,21 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
 
     ks = jnp.arange(N)
 
+    # Uniform objective scaling for float32 conditioning (see SolverConfig.
+    # cost_scale): minimizing f/s with AL penalties is the same program with
+    # multipliers/penalties re-based by s; solutions are unchanged.
+    inv_scale = 1.0 / cfg.cost_scale
+
     # ---- augmented-Lagrangian stage/terminal costs ----
     def al_stage(x, u, k, lam_k, mu):
-        cost = ocp.stage_cost(x, u, k, params)
+        cost = ocp.stage_cost(x, u, k, params) * inv_scale
         if nc:
             cost = cost + _al_penalty_ineq(
                 ocp.stage_ineq(x, u, k, params), lam_k, mu)
         return cost
 
     def al_terminal(x, lam_t, lam_e, mu):
-        cost = ocp.terminal_cost(x, params)
+        cost = ocp.terminal_cost(x, params) * inv_scale
         if nct:
             cost = cost + _al_penalty_ineq(ocp.terminal_ineq(x, params),
                                            lam_t, mu)

@@ -52,6 +52,11 @@ class SolverConfig:
     alpha_decay: float = 0.5
     cost_tol: float = 1e-7     # relative cost-decrease tolerance (for masking)
     constraint_tol: float = 1e-5
+    # Objective values in the reference formulation reach ~1e5 (slack weight
+    # S); dividing the AL objective by this factor keeps value-function
+    # arithmetic within float32 mantissa on TPU.  Solutions are unchanged
+    # (uniform scaling); reported costs are in original units.
+    cost_scale: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
