@@ -18,12 +18,12 @@ import numpy as np
 import jax.numpy as jnp
 
 from mmmpc_tpu.controllers.common import (
-    ControllerBase, as_weight_matrix, scalar_weight,
+    ControllerBase, as_weight_matrix, scalar_weight, weight_sqrt,
 )
 from mmmpc_tpu.models.base import base_step
 from mmmpc_tpu.models.obstacles import ground_obstacle_array
 from mmmpc_tpu.ocp import OCP
-from mmmpc_tpu.ocp.constraints import ground_circle_g, relu_max_penalty
+from mmmpc_tpu.ocp.constraints import ground_circle_g, relu_max, relu_max_penalty
 from mmmpc_tpu.utils.configs import SolverConfig
 from mmmpc_tpu.utils.math import angle_diff
 
@@ -91,11 +91,28 @@ class MPCBase(ControllerBase):
         def terminal_ineq(x, p):
             return box6(x)
 
+        def slack_res(x, p):
+            g = ground_circle_g(x[0], x[1], p["obstacles"], base_radius)
+            smax = relu_max(g)
+            return (p["M_sqrt"] * smax)[None]
+
+        def stage_residuals(x, u, k, p):
+            e = state_error(x, p["X_ref"][k])
+            eu = u - p["U_ref"][k]
+            return jnp.concatenate(
+                [p["Q_s"] @ e, p["R_s"] @ eu, slack_res(x, p)])
+
+        def terminal_residuals(x, p):
+            e = state_error(x, p["X_ref"][N])
+            return jnp.concatenate([p["P_s"] @ e, slack_res(x, p)])
+
         ocp = OCP(nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,
                   stage_cost=stage_cost, terminal_cost=terminal_cost,
                   stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
                   u_lower=jnp.asarray(self.ulim[0]),
-                  u_upper=jnp.asarray(self.ulim[1]))
+                  u_upper=jnp.asarray(self.ulim[1]),
+                  stage_residuals=stage_residuals,
+                  terminal_residuals=terminal_residuals)
         super().__init__(ocp, solver_config or SolverConfig())
         self.reset()
 
@@ -118,7 +135,11 @@ class MPCBase(ControllerBase):
     def make_params(self, traj_ref, u_ref):
         return {"X_ref": jnp.asarray(traj_ref), "U_ref": jnp.asarray(u_ref),
                 "Q": self.Q_value, "R": self.R_value, "P": self.P_value,
-                "M": self.M_value, "obstacles": self.obstacles_value}
+                "M": self.M_value, "obstacles": self.obstacles_value,
+                "Q_s": weight_sqrt(self.Q_value),
+                "R_s": weight_sqrt(self.R_value),
+                "P_s": weight_sqrt(self.P_value),
+                "M_sqrt": jnp.sqrt(self.M_value)}
 
     def solve(self, x_init, traj_ref, u_ref):
         return self._solve_impl(np.asarray(x_init, dtype=float),

@@ -50,6 +50,22 @@ def scalar_weight(value):
     return jnp.asarray(v.reshape(-1)[0])
 
 
+def weight_sqrt(W):
+    """Symmetric PSD square root of a weight matrix (host-side).
+
+    Used to factor quadratic costs into Gauss-Newton residuals:
+    e @ W @ e == ||sqrt(W) @ e||^2.  Reference weights are diagonal, where
+    this is just sqrt of the diagonal; the eigh path covers arbitrary PSD
+    weights passed through setWeight."""
+    W = np.asarray(W, dtype=float)
+    d = np.diag(W)
+    if np.allclose(W, np.diag(d)):
+        return jnp.asarray(np.diag(np.sqrt(np.maximum(d, 0.0))))
+    vals, vecs = np.linalg.eigh(W)
+    return jnp.asarray(
+        vecs @ np.diag(np.sqrt(np.maximum(vals, 0.0))) @ vecs.T)
+
+
 class ControllerBase:
     """Warm-start bookkeeping + jitted solve shared by all controllers."""
 

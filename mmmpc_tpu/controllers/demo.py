@@ -10,7 +10,9 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from mmmpc_tpu.controllers.common import ControllerBase, as_weight_matrix
+from mmmpc_tpu.controllers.common import (
+    ControllerBase, as_weight_matrix, weight_sqrt,
+)
 from mmmpc_tpu.models.point_mass import point_mass_step
 from mmmpc_tpu.ocp import OCP
 from mmmpc_tpu.utils.configs import SolverConfig
@@ -42,12 +44,22 @@ class MPC(ControllerBase):
         def stage_ineq(x, u, k, p):
             return jnp.stack([x[1] - vlim[1], vlim[0] - x[1]])
 
+        def stage_residuals(x, u, k, p):
+            ex = x - p["X_ref"][k]
+            eu = u - p["U_ref"][k]
+            return jnp.concatenate([p["Q_s"] @ ex, p["R_s"] @ eu])
+
+        def terminal_residuals(x, p):
+            return p["P_s"] @ (x - p["X_ref"][N])
+
         ocp = OCP(nx=self.NX, nu=self.NU, N=N,
                   dynamics=lambda x, u: point_mass_step(x, u, dt),
                   stage_cost=stage_cost, terminal_cost=terminal_cost,
                   stage_ineq=stage_ineq,
                   u_lower=jnp.asarray([float(alim[0])]),
-                  u_upper=jnp.asarray([float(alim[1])]))
+                  u_upper=jnp.asarray([float(alim[1])]),
+                  stage_residuals=stage_residuals,
+                  terminal_residuals=terminal_residuals)
         super().__init__(ocp, solver_config or SolverConfig())
         self.reset()
 
@@ -56,7 +68,10 @@ class MPC(ControllerBase):
 
     def make_params(self, traj_ref, u_ref):
         return {"X_ref": jnp.asarray(traj_ref), "U_ref": jnp.asarray(u_ref),
-                "Q": self.Q_value, "R": self.R_value, "P": self.P_value}
+                "Q": self.Q_value, "R": self.R_value, "P": self.P_value,
+                "Q_s": weight_sqrt(self.Q_value),
+                "R_s": weight_sqrt(self.R_value),
+                "P_s": weight_sqrt(self.P_value)}
 
     def solve(self, x_init, traj_ref, u_ref):
         u_ref = np.asarray(u_ref, dtype=float).reshape(self.N, self.NU)

@@ -22,13 +22,13 @@ import numpy as np
 import jax.numpy as jnp
 
 from mmmpc_tpu.controllers.common import (
-    ControllerBase, as_weight_matrix, finite_bound_masks,
+    ControllerBase, as_weight_matrix, weight_sqrt,
 )
 from mmmpc_tpu.models.arm import arm_fk, arm_step
 from mmmpc_tpu.ocp import OCP
 from mmmpc_tpu.ocp.constraints import (
-    halfplane_union_g, manipulator_sample_points, relu_max_penalty,
-    self_collision_g,
+    halfplane_union_g, manipulator_sample_points, relu_max,
+    relu_max_penalty, self_collision_g,
 )
 from mmmpc_tpu.utils.configs import SolverConfig
 
@@ -130,11 +130,32 @@ class MPCManipulator3DoF(ControllerBase):
             gq = jnp.concatenate([q - qhi, qlo - q])
             return jnp.concatenate([gq, selfcol(q)])
 
+        def slack_res(q, p):
+            ee, j2, j3 = arm_fk(q)
+            pts = manipulator_sample_points(ee, j2, j3)
+            g = halfplane_union_g(pts, p["hp_points"], p["hp_normals"],
+                                  p["hp_mask"], expand=0.0)
+            smax = relu_max(g)
+            return (jnp.sqrt(SLACK_WEIGHT) * smax)[None]
+
+        def stage_residuals(q, dq, k, p):
+            e = state_error(q, p["X_ref"][k])
+            eu = dq - p["U_ref"][k]
+            edu = dq - p["U_last"][k]
+            return jnp.concatenate([p["Q_s"] @ e, p["R_s"] @ eu,
+                                    p["M_s"] @ edu, slack_res(q, p)])
+
+        def terminal_residuals(q, p):
+            e = state_error(q, p["X_ref"][N])
+            return jnp.concatenate([p["P_s"] @ e, slack_res(q, p)])
+
         ocp = OCP(nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,
                   stage_cost=stage_cost, terminal_cost=terminal_cost,
                   stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
                   u_lower=jnp.asarray(self.dqlim[0]),
-                  u_upper=jnp.asarray(self.dqlim[1]))
+                  u_upper=jnp.asarray(self.dqlim[1]),
+                  stage_residuals=stage_residuals,
+                  terminal_residuals=terminal_residuals)
         super().__init__(ocp, solver_config or SolverConfig())
         self.reset()
 
@@ -145,6 +166,10 @@ class MPCManipulator3DoF(ControllerBase):
         return {"X_ref": jnp.asarray(traj_ref), "U_ref": jnp.asarray(u_ref),
                 "Q": self.Q_value, "R": self.R_value, "P": self.P_value,
                 "M": self.M_value,
+                "Q_s": weight_sqrt(self.Q_value),
+                "R_s": weight_sqrt(self.R_value),
+                "P_s": weight_sqrt(self.P_value),
+                "M_s": weight_sqrt(self.M_value),
                 "hp_points": self.hp_points_value,
                 "hp_normals": self.hp_normals_value,
                 "hp_mask": self.hp_mask_value}

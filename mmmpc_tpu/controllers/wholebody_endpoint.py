@@ -18,11 +18,12 @@ import jax.numpy as jnp
 
 from mmmpc_tpu.controllers.common import (
     ControllerBase, as_weight_matrix, finite_bound_masks, scalar_weight,
+    weight_sqrt,
 )
 from mmmpc_tpu.models.mobile_manipulator import wholebody_fk, wholebody_step
 from mmmpc_tpu.models.obstacles import ground_obstacle_array
 from mmmpc_tpu.ocp import OCP
-from mmmpc_tpu.ocp.constraints import box_g, ground_circle_g, relu_max_penalty
+from mmmpc_tpu.ocp.constraints import box_g, ground_circle_g, relu_max, relu_max_penalty
 from mmmpc_tpu.utils.configs import SolverConfig
 
 PI = math.pi
@@ -93,11 +94,31 @@ class MPCWholeBodyEndpoint(ControllerBase):
         def terminal_ineq(x, p):
             return box_g(x, x_lo, x_hi, x_mlo, x_mhi)
 
+        def slack_res(x, p):
+            g = ground_circle_g(x[0], x[1], p["obstacles"], base_radius)
+            smax = relu_max(g)
+            return (p["S_sqrt"] * smax)[None]
+
+        def stage_residuals(x, u, k, p):
+            pose_ee, _, _ = wholebody_fk(x)
+            e = pose_ee - p["X_ref"][k]
+            eu = u - p["U_ref"][k]
+            edu = u - p["U_last"][k]
+            return jnp.concatenate([p["Q_s"] @ e, p["R_s"] @ eu,
+                                    p["W_s"] @ edu, slack_res(x, p)])
+
+        def terminal_residuals(x, p):
+            pose_ee, _, _ = wholebody_fk(x)
+            e = pose_ee - p["X_ref"][N]
+            return jnp.concatenate([p["P_s"] @ e, slack_res(x, p)])
+
         ocp = OCP(nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,
                   stage_cost=stage_cost, terminal_cost=terminal_cost,
                   stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
                   u_lower=jnp.asarray(self.ulim[0]),
-                  u_upper=jnp.asarray(self.ulim[1]))
+                  u_upper=jnp.asarray(self.ulim[1]),
+                  stage_residuals=stage_residuals,
+                  terminal_residuals=terminal_residuals)
         super().__init__(ocp, solver_config or SolverConfig())
         self.reset()
 
@@ -108,6 +129,11 @@ class MPCWholeBodyEndpoint(ControllerBase):
         return {"X_ref": jnp.asarray(traj_ref), "U_ref": jnp.asarray(u_ref),
                 "Q": self.Q_value, "R": self.R_value, "P": self.P_value,
                 "S": self.S_value, "W": self.W_value,
+                "Q_s": weight_sqrt(self.Q_value),
+                "R_s": weight_sqrt(self.R_value),
+                "P_s": weight_sqrt(self.P_value),
+                "W_s": weight_sqrt(self.W_value),
+                "S_sqrt": jnp.sqrt(self.S_value),
                 "obstacles": self.obstacles_value}
 
     def solve(self, x_init, traj_ref, u_ref):

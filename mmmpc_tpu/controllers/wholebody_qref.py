@@ -32,13 +32,14 @@ import jax.numpy as jnp
 
 from mmmpc_tpu.controllers.common import (
     ControllerBase, as_weight_matrix, finite_bound_masks, scalar_weight,
+    weight_sqrt,
 )
 from mmmpc_tpu.models.mobile_manipulator import wholebody_fk, wholebody_step
 from mmmpc_tpu.models.obstacles import ground_obstacle_array
 from mmmpc_tpu.ocp import OCP
 from mmmpc_tpu.ocp.constraints import (
     _NEG_BIG, box_g, ground_circle_g, halfplane_union_g,
-    manipulator_sample_points, relu_max_penalty, self_collision_g,
+    manipulator_sample_points, relu_max, relu_max_penalty, self_collision_g,
 )
 from mmmpc_tpu.utils.configs import SolverConfig
 
@@ -144,11 +145,7 @@ class MPCWholeBody(ControllerBase):
             pose_ee, j2, j3 = wholebody_fk(x)
             return self_collision_g(pose_ee[:3], j2, j3)
 
-        def stage_cost(x, u, k, p):
-            ex = x - p["X_ref"][k]
-            eu = u - p["U_ref"][k]
-            edu = u - p["U_last"][k]
-            cost = ex @ p["Q"] @ ex + eu @ p["R"] @ eu + edu @ p["W"] @ edu
+        def stage_slack_g(x, u, k, p):
             g = slack_group(x, p, k)
             if bug_compat:
                 # terminal self-collision rides stage N-1's slack (reference
@@ -156,11 +153,9 @@ class MPCWholeBody(ControllerBase):
                 g_term = terminal_selfcol(dynamics(x, u))
                 g_term = jnp.where(k == N - 1, g_term, _NEG_BIG)
                 g = jnp.concatenate([g, g_term])
-            return cost + relu_max_penalty(g, p["S"])
+            return g
 
-        def terminal_cost(x, p):
-            ex = x - p["X_ref"][N]
-            cost = ex @ p["P"] @ ex
+        def terminal_slack_g(x, p):
             obs = p["obstacles"][N] if moving else p["obstacles"]
             pose_ee, j2, j3 = wholebody_fk(x)
             ee = pose_ee[:3]
@@ -171,8 +166,37 @@ class MPCWholeBody(ControllerBase):
             parts = [g_ground, g_hp]
             if not bug_compat:
                 parts.append(self_collision_g(ee, j2, j3))
-            g = jnp.concatenate(parts)
-            return cost + relu_max_penalty(g, p["S"])
+            return jnp.concatenate(parts)
+
+        def stage_cost(x, u, k, p):
+            ex = x - p["X_ref"][k]
+            eu = u - p["U_ref"][k]
+            edu = u - p["U_last"][k]
+            cost = ex @ p["Q"] @ ex + eu @ p["R"] @ eu + edu @ p["W"] @ edu
+            return cost + relu_max_penalty(stage_slack_g(x, u, k, p), p["S"])
+
+        def terminal_cost(x, p):
+            ex = x - p["X_ref"][N]
+            return (ex @ p["P"] @ ex
+                    + relu_max_penalty(terminal_slack_g(x, p), p["S"]))
+
+        def stage_residuals(x, u, k, p):
+            """Sum-of-squares factorization of stage_cost (Gauss-Newton
+            path): cost == ||residuals||^2 exactly."""
+            ex = x - p["X_ref"][k]
+            eu = u - p["U_ref"][k]
+            edu = u - p["U_last"][k]
+            smax = relu_max(stage_slack_g(x, u, k, p))
+            return jnp.concatenate([
+                p["Q_s"] @ ex, p["R_s"] @ eu, p["W_s"] @ edu,
+                (p["S_sqrt"] * smax)[None],
+            ])
+
+        def terminal_residuals(x, p):
+            ex = x - p["X_ref"][N]
+            smax = relu_max(terminal_slack_g(x, p))
+            return jnp.concatenate([p["P_s"] @ ex,
+                                    (p["S_sqrt"] * smax)[None]])
 
         x_lo, x_hi, x_mlo, x_mhi = (self._x_lo, self._x_hi,
                                     self._x_mlo, self._x_mhi)
@@ -196,7 +220,9 @@ class MPCWholeBody(ControllerBase):
             stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
             terminal_eq=terminal_eq,
             u_lower=jnp.asarray(self.ulim[0]),
-            u_upper=jnp.asarray(self.ulim[1]))
+            u_upper=jnp.asarray(self.ulim[1]),
+            stage_residuals=stage_residuals,
+            terminal_residuals=terminal_residuals)
 
     # ------------------------------------------------------------------
     def reset(self):
@@ -234,6 +260,11 @@ class MPCWholeBody(ControllerBase):
             "U_ref": jnp.asarray(u_ref),
             "Q": self.Q_value, "R": self.R_value, "P": self.P_value,
             "S": self.S_value, "W": self.W_value,
+            "Q_s": weight_sqrt(self.Q_value),
+            "R_s": weight_sqrt(self.R_value),
+            "P_s": weight_sqrt(self.P_value),
+            "W_s": weight_sqrt(self.W_value),
+            "S_sqrt": jnp.sqrt(self.S_value),
             "obstacles": self.obstacles_value,
             "hp_points": self.hp_points_value,
             "hp_normals": self.hp_normals_value,

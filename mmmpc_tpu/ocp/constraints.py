@@ -106,11 +106,19 @@ def box_g(v, lower, upper, finite_mask_lo, finite_mask_hi):
     return jnp.concatenate([g_hi, g_lo])
 
 
-def relu_max_penalty(g, weight):
-    """The exact slack-block equivalent: weight * relu(max g)^2.
+def relu_max(g):
+    """relu(max g) with a static-shape empty-group guard.
 
-    Handles empty constraint groups (e.g. a controller built with no
-    obstacles) by treating the max as satisfied.
+    An empty constraint group (e.g. a controller built with no obstacles)
+    contributes 0.  NOTE: must branch on the static shape — ``jnp.max(g,
+    initial=...)`` on a 0-size array has a NaN forward-mode derivative.
     """
-    smax = jnp.maximum(0.0, jnp.max(g, initial=_NEG_BIG))
+    if g.shape[0] == 0:
+        return jnp.zeros(())
+    return jnp.maximum(0.0, jnp.max(g))
+
+
+def relu_max_penalty(g, weight):
+    """The exact slack-block equivalent: weight * relu(max g)^2."""
+    smax = relu_max(g)
     return weight * smax * smax

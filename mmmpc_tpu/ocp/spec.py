@@ -45,7 +45,16 @@ def _zero_vec(*_args):
 
 @dataclasses.dataclass(frozen=True)
 class OCP:
-    """A fixed-shape optimal control problem over horizon N."""
+    """A fixed-shape optimal control problem over horizon N.
+
+    ``stage_residuals`` / ``terminal_residuals`` are an optional
+    sum-of-squares factorization of the costs: cost == sum(residuals**2)
+    exactly.  When provided, the solver uses Gauss-Newton expansions
+    (forward-only Jacobians, PSD Hessian by construction) instead of exact
+    AD Hessians — the dominant per-iteration cost on TPU.  All reference
+    formulations are sums of squares (quadratic tracking + relu^2 slack
+    penalties), so every built-in controller supplies them.
+    """
 
     nx: int
     nu: int
@@ -58,6 +67,8 @@ class OCP:
     terminal_eq: Callable = _zero_vec     # (x, params) -> (ne,)
     u_lower: Optional[jnp.ndarray] = None   # (nu,) static clamp, -inf ok
     u_upper: Optional[jnp.ndarray] = None
+    stage_residuals: Optional[Callable] = None     # (x, u, k, params) -> (nr,)
+    terminal_residuals: Optional[Callable] = None  # (x, params) -> (nrt,)
 
     def clamp_u(self, u):
         if self.u_lower is None and self.u_upper is None:

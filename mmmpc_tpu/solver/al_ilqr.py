@@ -123,8 +123,16 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
             X[:-1], U, ks, lam_stage)
         return jnp.sum(stage) + al_terminal(X[-1], lam_term, lam_eq, mu)
 
-    # ---- derivative helpers (exact, via AD) ----
-    def stage_derivs(x, u, k, lam_k, mu):
+    # ---- derivative helpers ----
+    use_gn = ocp.stage_residuals is not None
+    sqrt_inv_scale = jnp.sqrt(inv_scale)
+
+    def _dyn_jacs(x, u):
+        A = jax.jacfwd(ocp.dynamics, argnums=0)(x, u)
+        B = jax.jacfwd(ocp.dynamics, argnums=1)(x, u)
+        return A, B
+
+    def stage_derivs_exact(x, u, k, lam_k, mu):
         z = jnp.concatenate([x, u])
 
         def fz(zz):
@@ -132,9 +140,44 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
 
         g = jax.grad(fz)(z)
         H = jax.hessian(fz)(z)
-        A = jax.jacfwd(ocp.dynamics, argnums=0)(x, u)
-        B = jax.jacfwd(ocp.dynamics, argnums=1)(x, u)
+        A, B = _dyn_jacs(x, u)
         return (g[:nx], g[nx:], H[:nx, :nx], H[nx:, nx:], H[nx:, :nx], A, B)
+
+    def stage_derivs_gn(x, u, k, lam_k, mu):
+        """Gauss-Newton expansion: the scaled AL stage cost is (up to
+        multiplier constants) ||r(z)||^2 with
+        r = [sqrt(1/s) * cost residuals, sqrt(mu/2) * max(0, lam/mu + c)],
+        so grad = 2 J^T r and a PSD Hessian 2 J^T J from one forward-mode
+        Jacobian — no reverse pass, no second derivatives of FK trig."""
+        z = jnp.concatenate([x, u])
+
+        def rz(zz):
+            xx, uu = zz[:nx], zz[nx:]
+            parts = [ocp.stage_residuals(xx, uu, k, params) * sqrt_inv_scale]
+            if nc:
+                c = ocp.stage_ineq(xx, uu, k, params)
+                parts.append(jnp.sqrt(mu / 2) *
+                             jnp.maximum(0.0, lam_k / mu + c))
+            return jnp.concatenate(parts)
+
+        r = rz(z)
+        J = jax.jacfwd(rz)(z)
+        g = 2.0 * (J.T @ r)
+        H = 2.0 * (J.T @ J)
+        A, B = _dyn_jacs(x, u)
+        return (g[:nx], g[nx:], H[:nx, :nx], H[nx:, nx:], H[nx:, :nx], A, B)
+
+    stage_derivs = stage_derivs_gn if use_gn else stage_derivs_exact
+
+    def terminal_res(x, lam_t, lam_e, mu):
+        parts = [ocp.terminal_residuals(x, params) * sqrt_inv_scale]
+        if nct:
+            c = ocp.terminal_ineq(x, params)
+            parts.append(jnp.sqrt(mu / 2) * jnp.maximum(0.0, lam_t / mu + c))
+        if ne:
+            h = ocp.terminal_eq(x, params)
+            parts.append(jnp.sqrt(mu / 2) * (h + lam_e / mu))
+        return jnp.concatenate(parts)
 
     def fwd_pass(X, U, kffs, Ks, alpha, lams, mu):
         """Closed-loop rollout with step size alpha; returns (Xn, Un, cost)."""
@@ -164,9 +207,17 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
             X[:-1], U, ks, lams[0])
 
         # terminal value expansion
-        term_g = jax.grad(lambda x: al_terminal(x, lams[1], lams[2], mu))(X[-1])
-        term_H = jax.hessian(
-            lambda x: al_terminal(x, lams[1], lams[2], mu))(X[-1])
+        if use_gn:
+            rt = terminal_res(X[-1], lams[1], lams[2], mu)
+            Jt = jax.jacfwd(
+                lambda x: terminal_res(x, lams[1], lams[2], mu))(X[-1])
+            term_g = 2.0 * (Jt.T @ rt)
+            term_H = 2.0 * (Jt.T @ Jt)
+        else:
+            term_g = jax.grad(
+                lambda x: al_terminal(x, lams[1], lams[2], mu))(X[-1])
+            term_H = jax.hessian(
+                lambda x: al_terminal(x, lams[1], lams[2], mu))(X[-1])
 
         def bwd(carry_b, inp):
             Vx, Vxx = carry_b
