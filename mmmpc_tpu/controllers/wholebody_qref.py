@@ -34,7 +34,9 @@ from mmmpc_tpu.controllers.common import (
     ControllerBase, as_weight_matrix, finite_bound_masks, scalar_weight,
     weight_sqrt,
 )
-from mmmpc_tpu.models.mobile_manipulator import wholebody_fk, wholebody_step
+from mmmpc_tpu.models.mobile_manipulator import (
+    wholebody_fk, wholebody_jacobians, wholebody_step,
+)
 from mmmpc_tpu.models.obstacles import ground_obstacle_array
 from mmmpc_tpu.ocp import OCP
 from mmmpc_tpu.ocp.constraints import (
@@ -214,6 +216,74 @@ class MPCWholeBody(ControllerBase):
         def terminal_eq(x, p):
             return p["eq_mask"] * (x[:2] - p["X_ref"][N, :2])
 
+        # ---- hand-assembled Jacobians (the solver's fastest path) ----
+        # Box-constraint Jacobians are constant +-selection rows; only the
+        # slack residual row is nonlinear (one reverse-mode pass per stage).
+        nxl, nul = self.NX, self.NU
+        Jc_np = np.zeros((2 * nxl + 2 * nul, nxl + nul))
+        for i in range(nxl):
+            if np.asarray(x_mhi)[i]:
+                Jc_np[i, i] = 1.0
+            if np.asarray(x_mlo)[i]:
+                Jc_np[nxl + i, i] = -1.0
+        for i in range(nul):
+            if np.asarray(du_mhi)[i]:
+                Jc_np[2 * nxl + i, nxl + i] = 1.0
+            if np.asarray(du_mlo)[i]:
+                Jc_np[2 * nxl + nul + i, nxl + i] = -1.0
+        Jc_const = jnp.asarray(Jc_np)
+        Jct_np = np.zeros((2 * nxl, nxl))
+        Jct_np[:, :] = Jc_np[: 2 * nxl, :nxl]
+        Jct_const = jnp.asarray(Jct_np)
+        Jeq_np = np.zeros((2, nxl))
+        Jeq_np[0, 0] = 1.0
+        Jeq_np[1, 1] = 1.0
+        Jeq_const = jnp.asarray(Jeq_np)
+
+        import jax as _jax
+
+        def stage_gn(x, u, k, p):
+            ex = x - p["X_ref"][k]
+            eu = u - p["U_ref"][k]
+            edu = u - p["U_last"][k]
+            z = jnp.concatenate([x, u])
+            smax, sgrad = _jax.value_and_grad(
+                lambda zz: relu_max(
+                    stage_slack_g(zz[:nxl], zz[nxl:], k, p)))(z)
+            zero95 = jnp.zeros((nxl, nul), x.dtype)
+            zero59 = jnp.zeros((nul, nxl), x.dtype)
+            r = jnp.concatenate([p["Q_s"] @ ex, p["R_s"] @ eu,
+                                 p["W_s"] @ edu, (p["S_sqrt"] * smax)[None]])
+            J = jnp.concatenate([
+                jnp.concatenate([p["Q_s"], zero95], axis=1),
+                jnp.concatenate([zero59, p["R_s"]], axis=1),
+                jnp.concatenate([zero59, p["W_s"]], axis=1),
+                (p["S_sqrt"] * sgrad)[None, :],
+            ], axis=0)
+            return r, J
+
+        def terminal_gn(x, p):
+            ex = x - p["X_ref"][N]
+            smax, sgrad = _jax.value_and_grad(
+                lambda xx: relu_max(terminal_slack_g(xx, p)))(x)
+            r = jnp.concatenate([p["P_s"] @ ex, (p["S_sqrt"] * smax)[None]])
+            J = jnp.concatenate([p["P_s"], (p["S_sqrt"] * sgrad)[None, :]],
+                                axis=0)
+            return r, J
+
+        def stage_ineq_jac(x, u, k, p):
+            return stage_ineq(x, u, k, p), Jc_const.astype(x.dtype)
+
+        def terminal_ineq_jac(x, p):
+            return terminal_ineq(x, p), Jct_const.astype(x.dtype)
+
+        def terminal_eq_jac(x, p):
+            return (terminal_eq(x, p),
+                    p["eq_mask"] * Jeq_const.astype(x.dtype))
+
+        def dynamics_jacobians(x, u):
+            return wholebody_jacobians(x, u, dt)
+
         return OCP(
             nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,
             stage_cost=stage_cost, terminal_cost=terminal_cost,
@@ -222,7 +292,12 @@ class MPCWholeBody(ControllerBase):
             u_lower=jnp.asarray(self.ulim[0]),
             u_upper=jnp.asarray(self.ulim[1]),
             stage_residuals=stage_residuals,
-            terminal_residuals=terminal_residuals)
+            terminal_residuals=terminal_residuals,
+            stage_gn=stage_gn, terminal_gn=terminal_gn,
+            stage_ineq_jac=stage_ineq_jac,
+            terminal_ineq_jac=terminal_ineq_jac,
+            terminal_eq_jac=terminal_eq_jac,
+            dynamics_jacobians=dynamics_jacobians)
 
     # ------------------------------------------------------------------
     def reset(self):

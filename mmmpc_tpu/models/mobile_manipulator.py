@@ -51,3 +51,34 @@ def wholebody_step(x, u, dt):
     x_base = base_step(x[:6], u[:2], dt)
     q_next = arm_step(x[6:9], u[2:5], dt)
     return jnp.concatenate([x_base, q_next])
+
+
+def wholebody_jacobians(x, u, dt):
+    """Closed-form (A, B) = (d step/dx, d step/du) of wholebody_step.
+
+    The Euler-integrated dynamics are simple enough that AD is pure
+    overhead; hand-coding them removes 14 JVP sweeps per stage from the
+    solver's hot loop.  Verified against jax.jacfwd in tests.
+    """
+    psi, dx, dy, dpsi = x[2], x[3], x[4], x[5]
+    dV = u[0]
+    c, s = jnp.cos(psi), jnp.sin(psi)
+    z = jnp.zeros_like(psi)
+    one = jnp.ones_like(psi)
+    dt = jnp.asarray(dt, x.dtype)
+
+    A_base = jnp.stack([
+        jnp.stack([one, z, z, dt, z, z]),
+        jnp.stack([z, one, z, z, dt, z]),
+        jnp.stack([z, z, one, z, z, dt]),
+        jnp.stack([z, z, -dt * dV * s, one, -dt * dpsi, -dt * dy]),
+        jnp.stack([z, z, dt * dV * c, dt * dpsi, one, dt * dx]),
+        jnp.stack([z, z, z, z, z, one]),
+    ])
+    A = jnp.zeros((9, 9), x.dtype).at[:6, :6].set(A_base)
+    A = A.at[6, 6].set(1.0).at[7, 7].set(1.0).at[8, 8].set(1.0)
+
+    B = jnp.zeros((9, 5), x.dtype)
+    B = B.at[3, 0].set(dt * c).at[4, 0].set(dt * s).at[5, 1].set(dt)
+    B = B.at[6, 2].set(dt).at[7, 3].set(dt).at[8, 4].set(dt)
+    return A, B

@@ -70,6 +70,23 @@ class OCP:
     stage_residuals: Optional[Callable] = None     # (x, u, k, params) -> (nr,)
     terminal_residuals: Optional[Callable] = None  # (x, params) -> (nrt,)
 
+    # Hand-assembled derivative path (fastest).  When ALL of these are
+    # provided the solver skips AD entirely in its hot loop: the *_jac
+    # callables return (value, jacobian-wrt-[x;u]) pairs with analytic /
+    # minimal-AD Jacobians, and dynamics_jacobians returns closed-form
+    # (A, B).  Correctness vs the AD paths is asserted in tests.
+    stage_gn: Optional[Callable] = None        # (x,u,k,params) -> (r, J)
+    terminal_gn: Optional[Callable] = None     # (x,params) -> (r, J)
+    stage_ineq_jac: Optional[Callable] = None  # (x,u,k,params) -> (c, Jc)
+    terminal_ineq_jac: Optional[Callable] = None   # (x,params) -> (c, Jc)
+    terminal_eq_jac: Optional[Callable] = None     # (x,params) -> (h, Jh)
+    dynamics_jacobians: Optional[Callable] = None  # (x,u) -> (A, B)
+
+    @property
+    def has_hand_jacobians(self) -> bool:
+        return (self.stage_gn is not None and self.terminal_gn is not None
+                and self.dynamics_jacobians is not None)
+
     def clamp_u(self, u):
         if self.u_lower is None and self.u_upper is None:
             return u

@@ -167,7 +167,44 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
         A, B = _dyn_jacs(x, u)
         return (g[:nx], g[nx:], H[:nx, :nx], H[nx:, nx:], H[nx:, :nx], A, B)
 
-    stage_derivs = stage_derivs_gn if use_gn else stage_derivs_exact
+    def stage_derivs_hand(x, u, k, lam_k, mu):
+        """Hand-assembled GN expansion: no AD in the hot loop at all (save
+        whatever minimal AD the OCP's *_jac callables use internally)."""
+        r, J = ocp.stage_gn(x, u, k, params)
+        r = r * sqrt_inv_scale
+        J = J * sqrt_inv_scale
+        if nc:
+            c, Jc = ocp.stage_ineq_jac(x, u, k, params)
+            t = lam_k / mu + c
+            w = jnp.sqrt(mu / 2)
+            r = jnp.concatenate([r, w * jnp.maximum(0.0, t)])
+            J = jnp.concatenate(
+                [J, w * jnp.where((t > 0)[:, None], Jc, 0.0)], axis=0)
+        g = 2.0 * (J.T @ r)
+        H = 2.0 * (J.T @ J)
+        A, B = ocp.dynamics_jacobians(x, u)
+        return (g[:nx], g[nx:], H[:nx, :nx], H[nx:, nx:], H[nx:, :nx], A, B)
+
+    def terminal_derivs_hand(x, lam_t, lam_e, mu):
+        r, J = ocp.terminal_gn(x, params)
+        r = r * sqrt_inv_scale
+        J = J * sqrt_inv_scale
+        w = jnp.sqrt(mu / 2)
+        if nct:
+            c, Jc = ocp.terminal_ineq_jac(x, params)
+            t = lam_t / mu + c
+            r = jnp.concatenate([r, w * jnp.maximum(0.0, t)])
+            J = jnp.concatenate(
+                [J, w * jnp.where((t > 0)[:, None], Jc, 0.0)], axis=0)
+        if ne:
+            h, Jh = ocp.terminal_eq_jac(x, params)
+            r = jnp.concatenate([r, w * (h + lam_e / mu)])
+            J = jnp.concatenate([J, w * Jh], axis=0)
+        return 2.0 * (J.T @ r), 2.0 * (J.T @ J)
+
+    use_hand = ocp.has_hand_jacobians
+    stage_derivs = (stage_derivs_hand if use_hand
+                    else stage_derivs_gn if use_gn else stage_derivs_exact)
 
     def terminal_res(x, lam_t, lam_e, mu):
         parts = [ocp.terminal_residuals(x, params) * sqrt_inv_scale]
@@ -207,7 +244,9 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
             X[:-1], U, ks, lams[0])
 
         # terminal value expansion
-        if use_gn:
+        if use_hand:
+            term_g, term_H = terminal_derivs_hand(X[-1], lams[1], lams[2], mu)
+        elif use_gn:
             rt = terminal_res(X[-1], lams[1], lams[2], mu)
             Jt = jax.jacfwd(
                 lambda x: terminal_res(x, lams[1], lams[2], mu))(X[-1])
@@ -269,7 +308,7 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
         return cs, ct, he
 
     # ---- outer AL loop ----
-    def al_round(carry, i):
+    def al_round(carry, i, inner_iters):
         U, lam_stage, lam_term, lam_eq, _ = carry
         mu = jnp.minimum(cfg.mu_init * cfg.mu_scale ** i.astype(dtype),
                          cfg.mu_max)
@@ -279,7 +318,7 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
         init = (X, Uc, cost0, jnp.asarray(cfg.reg_init, dtype))
         (X, U_new, _, _), _ = jax.lax.scan(
             lambda c, _: ilqr_iter(c, (lams, mu)), init, None,
-            length=cfg.ilqr_iters)
+            length=inner_iters)
         cs, ct, he = eval_constraints(X, U_new)
         lam_stage = jnp.maximum(0.0, lam_stage + mu * cs)
         lam_term = jnp.maximum(0.0, lam_term + mu * ct)
@@ -296,8 +335,17 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
     lam_eq0 = jnp.zeros((ne,), dtype)
     carry0 = (jnp.asarray(U_init, dtype), lam_stage0, lam_term0, lam_eq0,
               jnp.asarray(jnp.inf, dtype))
-    (U_fin, lam_stage, lam_term, lam_eq, viol), _ = jax.lax.scan(
-        al_round, carry0, jnp.arange(cfg.al_iters))
+    # first AL round carries the heavy lifting; later rounds only track
+    # multiplier updates with a shorter inner budget
+    later_iters = (cfg.ilqr_iters_later if cfg.ilqr_iters_later is not None
+                   else cfg.ilqr_iters)
+    carry0, _ = al_round(carry0, jnp.asarray(0), cfg.ilqr_iters)
+    if cfg.al_iters > 1:
+        (U_fin, lam_stage, lam_term, lam_eq, viol), _ = jax.lax.scan(
+            lambda c, i: al_round(c, i, later_iters), carry0,
+            jnp.arange(1, cfg.al_iters))
+    else:
+        U_fin, lam_stage, lam_term, lam_eq, viol = carry0
 
     X_fin, U_fin = rollout(ocp, x0, U_fin, params)
     cost = _objective(ocp, X_fin, U_fin, params)

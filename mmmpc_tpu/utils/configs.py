@@ -41,7 +41,11 @@ class SolverConfig:
     """
 
     al_iters: int = 6          # outer augmented-Lagrangian multiplier updates
-    ilqr_iters: int = 10       # inner iLQR sweeps per AL round
+    ilqr_iters: int = 10       # inner iLQR sweeps in the FIRST AL round
+    # Inner sweeps in later AL rounds.  The first round solves the problem
+    # from scratch; subsequent rounds only track the multiplier updates, so
+    # a handful of sweeps suffices.  None => same as ilqr_iters.
+    ilqr_iters_later: int | None = None
     mu_init: float = 10.0      # initial AL penalty
     mu_scale: float = 5.0      # penalty growth per AL round
     mu_max: float = 1e6

@@ -1,0 +1,101 @@
+"""Hand-assembled derivative path must match AD to machine precision, and
+solver results must be identical across derivative paths."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmmpc_tpu.controllers import MPCWholeBody
+from mmmpc_tpu.models.mobile_manipulator import (
+    wholebody_jacobians, wholebody_step,
+)
+from mmmpc_tpu.models.obstacles import Obstacles
+from mmmpc_tpu.models.robots import MobileManipulator
+from mmmpc_tpu.solver import al_ilqr_solve
+from mmmpc_tpu.utils.configs import SolverConfig, make_scenario
+
+RNG = np.random.default_rng(5)
+
+
+def test_wholebody_jacobians_match_ad():
+    for _ in range(10):
+        x = jnp.asarray(RNG.normal(size=9))
+        u = jnp.asarray(RNG.normal(size=5))
+        A, B = wholebody_jacobians(x, u, 0.1)
+        A_ad = jax.jacfwd(lambda xx: wholebody_step(xx, u, 0.1))(x)
+        B_ad = jax.jacfwd(lambda uu: wholebody_step(x, uu, 0.1))(u)
+        np.testing.assert_allclose(np.asarray(A), np.asarray(A_ad), atol=1e-14)
+        np.testing.assert_allclose(np.asarray(B), np.asarray(B_ad), atol=1e-14)
+
+
+def _qref_problem(N=6):
+    sc = make_scenario(1, N=N)
+    hp = [(sc.hp_points[j], sc.hp_normals[j][None, :]) for j in range(3)]
+    obs = [Obstacles(*row) for row in sc.ground_obstacles]
+    mpc = MPCWholeBody(MobileManipulator(0.1), obs, hp, N=N,
+                       solver_config=SolverConfig(al_iters=4, ilqr_iters=6))
+    x0 = np.array([4.45, 5.06, -np.pi, 0, 0, 0, -np.pi / 4, -np.pi, np.pi])
+    traj = np.linspace(
+        x0, np.concatenate([x0[:6], [0.3, -1.0, 1.0]]), N + 1)
+    params = dict(mpc.make_params(traj, np.zeros((N, 5))),
+                  U_last=jnp.asarray(RNG.normal(size=(N, 5)) * 0.1))
+    return mpc, jnp.asarray(x0), params
+
+
+def test_stage_gn_matches_jacfwd():
+    mpc, x0, params = _qref_problem()
+    for _ in range(5):
+        x = x0 + jnp.asarray(RNG.normal(size=9) * 0.1)
+        u = jnp.asarray(RNG.normal(size=5) * 0.3)
+        k = int(RNG.integers(0, mpc.N))
+        r, J = mpc.ocp.stage_gn(x, u, k, params)
+        r_ref = mpc.ocp.stage_residuals(x, u, k, params)
+        J_ref = jax.jacfwd(
+            lambda z: mpc.ocp.stage_residuals(z[:9], z[9:], k, params))(
+                jnp.concatenate([x, u]))
+        np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref),
+                                   atol=1e-12)
+
+        rt, Jt = mpc.ocp.terminal_gn(x, params)
+        rt_ref = mpc.ocp.terminal_residuals(x, params)
+        Jt_ref = jax.jacfwd(
+            lambda xx: mpc.ocp.terminal_residuals(xx, params))(x)
+        np.testing.assert_allclose(np.asarray(rt), np.asarray(rt_ref),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(Jt), np.asarray(Jt_ref),
+                                   atol=1e-12)
+
+        c, Jc = mpc.ocp.stage_ineq_jac(x, u, k, params)
+        Jc_ref = jax.jacfwd(
+            lambda z: mpc.ocp.stage_ineq(z[:9], z[9:], k, params))(
+                jnp.concatenate([x, u]))
+        np.testing.assert_allclose(np.asarray(Jc), np.asarray(Jc_ref),
+                                   atol=1e-12)
+
+        h, Jh = mpc.ocp.terminal_eq_jac(x, params)
+        Jh_ref = jax.jacfwd(lambda xx: mpc.ocp.terminal_eq(xx, params))(x)
+        np.testing.assert_allclose(np.asarray(Jh), np.asarray(Jh_ref),
+                                   atol=1e-12)
+
+
+def test_solver_paths_agree():
+    """hand-Jacobian, jacfwd-GN and exact-Hessian paths must land on the
+    same solution (same merit landscape, different expansions)."""
+    mpc, x0, params = _qref_problem()
+    U0 = jnp.zeros((mpc.N, 5))
+    cfg = SolverConfig(al_iters=6, ilqr_iters=12)
+
+    res_hand = al_ilqr_solve(mpc.ocp, x0, U0, params, cfg)
+
+    ocp_gn = dataclasses.replace(
+        mpc.ocp, stage_gn=None, terminal_gn=None, dynamics_jacobians=None)
+    res_gn = al_ilqr_solve(ocp_gn, x0, U0, params, cfg)
+
+    np.testing.assert_allclose(np.asarray(res_hand.U), np.asarray(res_gn.U),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(res_hand.cost), float(res_gn.cost),
+                               rtol=1e-8)
