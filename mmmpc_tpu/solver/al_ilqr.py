@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from mmmpc_tpu.ocp.spec import OCP
+from mmmpc_tpu.solver.linalg_small import chol_solve_unrolled
 from mmmpc_tpu.utils.configs import SolverConfig
 
 
@@ -267,7 +268,9 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
             Quu = luu_k + B_k.T @ Vxx @ B_k
             Qux = lux_k + B_k.T @ Vxx @ A_k
             Quu_r = Quu + reg * eye_u
-            sol = jnp.linalg.solve(
+            # unrolled SPD solve: batched LAPACK calls inside the scan are
+            # the single largest cost on TPU (see linalg_small.py)
+            sol = chol_solve_unrolled(
                 Quu_r, jnp.concatenate([Qu[:, None], Qux], axis=1))
             kff = -sol[:, 0]
             K = -sol[:, 1:]

@@ -215,3 +215,15 @@ def test_solver_is_jittable_and_vmappable():
     # batch element 0 equals the single solve
     np.testing.assert_allclose(np.asarray(resB.U[0]), np.asarray(res1.U),
                                atol=1e-10)
+
+
+def test_chol_solve_unrolled_matches_lapack():
+    from mmmpc_tpu.solver.linalg_small import chol_solve_unrolled
+    rng = np.random.default_rng(9)
+    for n, m, batch in [(5, 10, ()), (5, 6, (7,)), (9, 1, (4, 3)), (2, 2, ())]:
+        A = rng.standard_normal(batch + (n, n))
+        A = A @ np.swapaxes(A, -1, -2) + n * np.eye(n)
+        B = rng.standard_normal(batch + (n, m))
+        X = chol_solve_unrolled(jnp.asarray(A), jnp.asarray(B))
+        X_ref = np.linalg.solve(A, B)
+        np.testing.assert_allclose(np.asarray(X), X_ref, rtol=1e-9, atol=1e-9)
