@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from mmmpc_tpu.controllers import MPCWholeBody
 from mmmpc_tpu.models.obstacles import Obstacles
 from mmmpc_tpu.models.robots import MobileManipulator
-from mmmpc_tpu.parallel import batched_solve_fn
+from mmmpc_tpu.parallel import controller_batched_fn
 from mmmpc_tpu.utils.configs import SolverConfig, make_scenario
 
 N = 20
@@ -68,7 +68,7 @@ def build_problem(batch):
 
 def main():
     mpc, x0_b, U0_b, params = build_problem(BATCH)
-    run = jax.jit(batched_solve_fn(mpc.solve_fn()))
+    run = jax.jit(controller_batched_fn(mpc))
 
     # compile + warm up
     res, stats = run(x0_b, U0_b, params)

@@ -85,6 +85,16 @@ class ControllerBase:
         ocp, cfg = self.ocp, self.solver_config
         return lambda x0, U0, params: al_ilqr_solve(ocp, x0, U0, params, cfg)
 
+    def batch_solve_fn(self):
+        """(x0_b, U0_b, params) -> batched SolveResult.
+
+        Uses the natively-batched solver (Pallas Riccati kernel on TPU when
+        the batch is a multiple of 1024; vmap fallback otherwise)."""
+        from mmmpc_tpu.solver.batched import al_ilqr_solve_batched
+        ocp, cfg = self.ocp, self.solver_config
+        return lambda x0_b, U0_b, params: al_ilqr_solve_batched(
+            ocp, x0_b, U0_b, params, cfg)
+
     def reset_warmstart(self):
         self.u_latest = None
 

@@ -40,15 +40,9 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices).reshape(-1), (axis_name,))
 
 
-def batched_solve_fn(solve_fn):
-    """vmap a single-scenario solve over (x0, U0) batches with shared params.
-
-    solve_fn: (x0, U0, params) -> SolveResult.  Returns (results, stats)
-    where stats are single-chip aggregates.
-    """
-
+def _with_stats(run_b):
     def run(x0_b, U0_b, params):
-        res = jax.vmap(lambda x0, U0: solve_fn(x0, U0, params))(x0_b, U0_b)
+        res = run_b(x0_b, U0_b, params)
         stats = BatchStats(
             n_solved=jnp.asarray(x0_b.shape[0], jnp.float32),
             n_converged=jnp.sum(res.converged.astype(jnp.float32)),
@@ -58,6 +52,23 @@ def batched_solve_fn(solve_fn):
         return res, stats
 
     return run
+
+
+def batched_solve_fn(solve_fn):
+    """vmap a single-scenario solve over (x0, U0) batches with shared params.
+
+    solve_fn: (x0, U0, params) -> SolveResult.  Returns (results, stats)
+    where stats are single-chip aggregates.
+    """
+    return _with_stats(
+        lambda x0_b, U0_b, params: jax.vmap(
+            lambda x0, U0: solve_fn(x0, U0, params))(x0_b, U0_b))
+
+
+def controller_batched_fn(controller):
+    """Batched (x0_b, U0_b, params) -> (results, stats) for a controller,
+    via the natively-batched solver (Pallas Riccati path on TPU)."""
+    return _with_stats(controller.batch_solve_fn())
 
 
 def sharded_solve_fn(solve_fn, mesh: Mesh, axis_name: str = "data"):

@@ -8,26 +8,31 @@ solver runs entirely on-device with fixed shapes and fixed iteration counts:
   inequality/equality constraints (state boxes, input-rate boxes, injected
   terminal equality), multipliers updated per round, penalty grown
   geometrically;
-- inner loop: iLQR — a Riccati backward sweep (``lax.scan`` over the
-  horizon) on exact jax.hessian stage expansions, followed by a forward
-  rollout with a *parallel* backtracking line search (all step sizes
-  evaluated in one vmapped rollout batch, best-by-merit selected);
+- inner loop: iLQR — a Riccati backward sweep on Gauss-Newton stage
+  expansions (hand-assembled Jacobians when the OCP provides them, one
+  forward-mode Jacobian otherwise, exact Hessians as a last resort),
+  followed by a forward rollout with a *parallel* backtracking line search
+  (all step sizes evaluated in one vmapped rollout batch, best-by-merit
+  selected);
 - input boxes additionally enforced by clamping in the rollout
   (control-limited iLQR), so iterates stay feasible w.r.t. ulim throughout.
 
-Everything is jit/vmap-safe: batching thousands of scenarios is
-``jax.vmap(al_ilqr_solve, ...)`` and sharding them across chips is
-``shard_map`` over a data mesh axis (mmmpc_tpu/parallel).
+Two entry points:
+- ``al_ilqr_solve``        one scenario; jit/vmap-safe (closed-loop control);
+- ``al_ilqr_solve_batched``  (solver/batched.py) the high-throughput path:
+  batch-major arrays, the backward sweep runs as the Pallas batch-on-lanes
+  Riccati kernel (mmmpc_tpu/ops/riccati.py) — the lax.scan backward pass
+  measured 12 ms/sweep at batch 1024 on v5e against 0.05 ms for the kernel.
 
-Design notes vs. hardware: nx<=9, nu<=5 — the per-stage linear algebra is far
-below MXU tile size, so the win on TPU comes from batching: under vmap every
-5x5 solve becomes a (B,5,5) batched op that XLA lowers onto the VPU/MXU.  The
-horizon stays a sequential scan (a Riccati sweep is inherently causal; for
-large-N studies see the associative-scan variant in SURVEY.md §5).
+Numerical notes: objective scaling (cfg.cost_scale) keeps the reference's
+~1e5-magnitude costs inside float32 mantissa; the unrolled tiny-Cholesky
+(linalg_small.py) replaces batched LAPACK solves, which dominate runtime
+otherwise.
 """
 
 from __future__ import annotations
 
+import types
 from typing import NamedTuple
 
 import jax
@@ -79,28 +84,25 @@ def _al_penalty_eq(h, lam, mu):
     return jnp.sum(lam * h) + 0.5 * mu * jnp.sum(h * h)
 
 
-def al_ilqr_solve(ocp: OCP, x0, U_init, params,
-                  cfg: SolverConfig = SolverConfig()) -> SolveResult:
-    """Solve the OCP from initial state x0 with warm-start inputs U_init."""
+def build_core(ocp: OCP, params, cfg: SolverConfig, dtype):
+    """Per-scenario solver building blocks shared by the single-scenario and
+    batched entry points."""
     nx, nu, N = ocp.nx, ocp.nu, ocp.N
-    dtype = jnp.result_type(x0)
 
-    # Constraint block shapes (static — discovered by tracing once).
     nc = jax.eval_shape(ocp.stage_ineq, jnp.zeros(nx, dtype),
                         jnp.zeros(nu, dtype), 0, params).shape[0]
     nct = jax.eval_shape(ocp.terminal_ineq, jnp.zeros(nx, dtype),
                          params).shape[0]
     ne = jax.eval_shape(ocp.terminal_eq, jnp.zeros(nx, dtype),
                         params).shape[0]
-
     ks = jnp.arange(N)
 
     # Uniform objective scaling for float32 conditioning (see SolverConfig.
     # cost_scale): minimizing f/s with AL penalties is the same program with
     # multipliers/penalties re-based by s; solutions are unchanged.
     inv_scale = 1.0 / cfg.cost_scale
+    sqrt_inv_scale = jnp.sqrt(jnp.asarray(inv_scale, dtype))
 
-    # ---- augmented-Lagrangian stage/terminal costs ----
     def al_stage(x, u, k, lam_k, mu):
         cost = ocp.stage_cost(x, u, k, params) * inv_scale
         if nc:
@@ -124,11 +126,13 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
             X[:-1], U, ks, lam_stage)
         return jnp.sum(stage) + al_terminal(X[-1], lam_term, lam_eq, mu)
 
-    # ---- derivative helpers ----
+    # ---- derivative paths ----
     use_gn = ocp.stage_residuals is not None
-    sqrt_inv_scale = jnp.sqrt(inv_scale)
+    use_hand = ocp.has_hand_jacobians
 
     def _dyn_jacs(x, u):
+        if ocp.dynamics_jacobians is not None:
+            return ocp.dynamics_jacobians(x, u)
         A = jax.jacfwd(ocp.dynamics, argnums=0)(x, u)
         B = jax.jacfwd(ocp.dynamics, argnums=1)(x, u)
         return A, B
@@ -186,6 +190,19 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
         A, B = ocp.dynamics_jacobians(x, u)
         return (g[:nx], g[nx:], H[:nx, :nx], H[nx:, nx:], H[nx:, :nx], A, B)
 
+    stage_derivs = (stage_derivs_hand if use_hand
+                    else stage_derivs_gn if use_gn else stage_derivs_exact)
+
+    def terminal_res(x, lam_t, lam_e, mu):
+        parts = [ocp.terminal_residuals(x, params) * sqrt_inv_scale]
+        if nct:
+            c = ocp.terminal_ineq(x, params)
+            parts.append(jnp.sqrt(mu / 2) * jnp.maximum(0.0, lam_t / mu + c))
+        if ne:
+            h = ocp.terminal_eq(x, params)
+            parts.append(jnp.sqrt(mu / 2) * (h + lam_e / mu))
+        return jnp.concatenate(parts)
+
     def terminal_derivs_hand(x, lam_t, lam_e, mu):
         r, J = ocp.terminal_gn(x, params)
         r = r * sqrt_inv_scale
@@ -203,22 +220,20 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
             J = jnp.concatenate([J, w * Jh], axis=0)
         return 2.0 * (J.T @ r), 2.0 * (J.T @ J)
 
-    use_hand = ocp.has_hand_jacobians
-    stage_derivs = (stage_derivs_hand if use_hand
-                    else stage_derivs_gn if use_gn else stage_derivs_exact)
+    def terminal_derivs(x, lam_t, lam_e, mu):
+        if use_hand:
+            return terminal_derivs_hand(x, lam_t, lam_e, mu)
+        if use_gn:
+            rt = terminal_res(x, lam_t, lam_e, mu)
+            Jt = jax.jacfwd(
+                lambda xx: terminal_res(xx, lam_t, lam_e, mu))(x)
+            return 2.0 * (Jt.T @ rt), 2.0 * (Jt.T @ Jt)
+        g = jax.grad(lambda xx: al_terminal(xx, lam_t, lam_e, mu))(x)
+        H = jax.hessian(lambda xx: al_terminal(xx, lam_t, lam_e, mu))(x)
+        return g, H
 
-    def terminal_res(x, lam_t, lam_e, mu):
-        parts = [ocp.terminal_residuals(x, params) * sqrt_inv_scale]
-        if nct:
-            c = ocp.terminal_ineq(x, params)
-            parts.append(jnp.sqrt(mu / 2) * jnp.maximum(0.0, lam_t / mu + c))
-        if ne:
-            h = ocp.terminal_eq(x, params)
-            parts.append(jnp.sqrt(mu / 2) * (h + lam_e / mu))
-        return jnp.concatenate(parts)
-
-    def fwd_pass(X, U, kffs, Ks, alpha, lams, mu):
-        """Closed-loop rollout with step size alpha; returns (Xn, Un, cost)."""
+    def fwd_pass(x0, X, U, kffs, Ks, alpha, lams, mu):
+        """Closed-loop rollout with step size alpha: (Xn, Un, cost)."""
 
         def step(carry, inp):
             x, cost = carry
@@ -228,7 +243,7 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
             return (ocp.dynamics(x, u), cost), (x, u)
 
         (x_last, cost), (Xs, Un) = jax.lax.scan(
-            step, (X[0], jnp.zeros((), dtype)),
+            step, (x0, jnp.zeros((), dtype)),
             (X[:-1], U, kffs, Ks, ks, lams[0]))
         cost = cost + al_terminal(x_last, lams[1], lams[2], mu)
         Xn = jnp.concatenate([Xs, x_last[None, :]], axis=0)
@@ -236,28 +251,8 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
 
     eye_u = jnp.eye(nu, dtype=dtype)
 
-    # ---- inner iLQR iteration ----
-    def ilqr_iter(carry, lams_mu):
-        X, U, cost, reg = carry
-        lams, mu = lams_mu
-
-        derivs = jax.vmap(lambda x, u, k, l: stage_derivs(x, u, k, l, mu))(
-            X[:-1], U, ks, lams[0])
-
-        # terminal value expansion
-        if use_hand:
-            term_g, term_H = terminal_derivs_hand(X[-1], lams[1], lams[2], mu)
-        elif use_gn:
-            rt = terminal_res(X[-1], lams[1], lams[2], mu)
-            Jt = jax.jacfwd(
-                lambda x: terminal_res(x, lams[1], lams[2], mu))(X[-1])
-            term_g = 2.0 * (Jt.T @ rt)
-            term_H = 2.0 * (Jt.T @ Jt)
-        else:
-            term_g = jax.grad(
-                lambda x: al_terminal(x, lams[1], lams[2], mu))(X[-1])
-            term_H = jax.hessian(
-                lambda x: al_terminal(x, lams[1], lams[2], mu))(X[-1])
+    def backward_scan(derivs, term_g, term_H, reg):
+        """Pure-JAX Riccati backward sweep (per scenario)."""
 
         def bwd(carry_b, inp):
             Vx, Vxx = carry_b
@@ -267,11 +262,9 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
             Qxx = lxx_k + A_k.T @ Vxx @ A_k
             Quu = luu_k + B_k.T @ Vxx @ B_k
             Qux = lux_k + B_k.T @ Vxx @ A_k
-            Quu_r = Quu + reg * eye_u
-            # unrolled SPD solve: batched LAPACK calls inside the scan are
-            # the single largest cost on TPU (see linalg_small.py)
             sol = chol_solve_unrolled(
-                Quu_r, jnp.concatenate([Qu[:, None], Qux], axis=1))
+                Quu + reg * eye_u,
+                jnp.concatenate([Qu[:, None], Qux], axis=1))
             kff = -sol[:, 0]
             K = -sol[:, 1:]
             Vx_n = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
@@ -281,13 +274,57 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
 
         (_, _), (kffs_r, Ks_r) = jax.lax.scan(
             bwd, (term_g, term_H), jax.tree.map(lambda a: a[::-1], derivs))
-        kffs = kffs_r[::-1]
-        Ks = Ks_r[::-1]
+        return kffs_r[::-1], Ks_r[::-1]
 
-        # parallel line search (alpha = decay^i), plus alpha=0 == keep current
+    def eval_constraints(X, U):
+        cs = (jax.vmap(lambda x, u, k: ocp.stage_ineq(x, u, k, params))(
+            X[:-1], U, ks) if nc else jnp.zeros((N, 0), dtype))
+        ct = (ocp.terminal_ineq(X[-1], params) if nct
+              else jnp.zeros((0,), dtype))
+        he = (ocp.terminal_eq(X[-1], params) if ne
+              else jnp.zeros((0,), dtype))
+        return cs, ct, he
+
+    def violation(cs, ct, he):
+        viol = jnp.maximum(
+            jnp.max(cs, initial=-jnp.inf) if nc else -jnp.inf,
+            jnp.max(ct, initial=-jnp.inf) if nct else -jnp.inf)
+        return jnp.maximum(viol, jnp.max(jnp.abs(he), initial=0.0)
+                           if ne else 0.0)
+
+    def mu_at(i):
+        return jnp.minimum(cfg.mu_init * cfg.mu_scale ** i.astype(dtype),
+                           cfg.mu_max)
+
+    return types.SimpleNamespace(
+        nx=nx, nu=nu, N=N, nc=nc, nct=nct, ne=ne, ks=ks, dtype=dtype,
+        al_stage=al_stage, al_terminal=al_terminal, al_total=al_total,
+        stage_derivs=stage_derivs, terminal_derivs=terminal_derivs,
+        fwd_pass=fwd_pass, backward_scan=backward_scan,
+        eval_constraints=eval_constraints, violation=violation, mu_at=mu_at)
+
+
+def al_ilqr_solve(ocp: OCP, x0, U_init, params,
+                  cfg: SolverConfig = SolverConfig()) -> SolveResult:
+    """Solve the OCP from initial state x0 with warm-start inputs U_init."""
+    dtype = jnp.result_type(x0)
+    core = build_core(ocp, params, cfg, dtype)
+    N, nc, nct, ne = core.N, core.nc, core.nct, core.ne
+
+    def ilqr_iter(carry, lams_mu):
+        X, U, cost, reg = carry
+        lams, mu = lams_mu
+
+        derivs = jax.vmap(
+            lambda x, u, k, l: core.stage_derivs(x, u, k, l, mu))(
+                X[:-1], U, core.ks, lams[0])
+        term_g, term_H = core.terminal_derivs(X[-1], lams[1], lams[2], mu)
+        kffs, Ks = core.backward_scan(derivs, term_g, term_H, reg)
+
         alphas = cfg.alpha_decay ** jnp.arange(cfg.n_alpha, dtype=dtype)
         Xc, Uc, cc = jax.vmap(
-            lambda a: fwd_pass(X, U, kffs, Ks, a, lams, mu))(alphas)
+            lambda a: core.fwd_pass(X[0], X, U, kffs, Ks, a, lams, mu))(
+                alphas)
 
         best = jnp.argmin(cc)
         best_cost = cc[best]
@@ -300,43 +337,25 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
                             jnp.minimum(reg * cfg.reg_scale, cfg.reg_max))
         return (X_new, U_new, cost_new, reg_new), None
 
-    # ---- constraint evaluation for multiplier updates ----
-    def eval_constraints(X, U):
-        cs = (jax.vmap(lambda x, u, k: ocp.stage_ineq(x, u, k, params))(
-            X[:-1], U, ks) if nc else jnp.zeros((N, 0), dtype))
-        ct = (ocp.terminal_ineq(X[-1], params) if nct
-              else jnp.zeros((0,), dtype))
-        he = (ocp.terminal_eq(X[-1], params) if ne
-              else jnp.zeros((0,), dtype))
-        return cs, ct, he
-
-    # ---- outer AL loop ----
     def al_round(carry, i, inner_iters):
         U, lam_stage, lam_term, lam_eq, _ = carry
-        mu = jnp.minimum(cfg.mu_init * cfg.mu_scale ** i.astype(dtype),
-                         cfg.mu_max)
+        mu = core.mu_at(i)
         lams = (lam_stage, lam_term, lam_eq)
         X, Uc = rollout(ocp, x0, U, params)
-        cost0 = al_total(X, Uc, lams, mu)
+        cost0 = core.al_total(X, Uc, lams, mu)
         init = (X, Uc, cost0, jnp.asarray(cfg.reg_init, dtype))
         (X, U_new, _, _), _ = jax.lax.scan(
             lambda c, _: ilqr_iter(c, (lams, mu)), init, None,
             length=inner_iters)
-        cs, ct, he = eval_constraints(X, U_new)
+        cs, ct, he = core.eval_constraints(X, U_new)
         lam_stage = jnp.maximum(0.0, lam_stage + mu * cs)
         lam_term = jnp.maximum(0.0, lam_term + mu * ct)
         lam_eq = lam_eq + mu * he
-        viol = jnp.maximum(
-            jnp.max(cs, initial=-jnp.inf) if nc else -jnp.inf,
-            jnp.max(ct, initial=-jnp.inf) if nct else -jnp.inf)
-        viol = jnp.maximum(viol, jnp.max(jnp.abs(he), initial=0.0)
-                           if ne else 0.0)
+        viol = core.violation(cs, ct, he)
         return (U_new, lam_stage, lam_term, lam_eq, viol), None
 
-    lam_stage0 = jnp.zeros((N, nc), dtype)
-    lam_term0 = jnp.zeros((nct,), dtype)
-    lam_eq0 = jnp.zeros((ne,), dtype)
-    carry0 = (jnp.asarray(U_init, dtype), lam_stage0, lam_term0, lam_eq0,
+    carry0 = (jnp.asarray(U_init, dtype), jnp.zeros((N, nc), dtype),
+              jnp.zeros((nct,), dtype), jnp.zeros((ne,), dtype),
               jnp.asarray(jnp.inf, dtype))
     # first AL round carries the heavy lifting; later rounds only track
     # multiplier updates with a shorter inner budget

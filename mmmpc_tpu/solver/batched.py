@@ -1,0 +1,123 @@
+"""Natively-batched AL-iLQR — the high-throughput path.
+
+Same algorithm as al_ilqr_solve but with the batch as a leading axis
+throughout, so the backward Riccati sweep can run as the Pallas
+batch-on-lanes kernel (mmmpc_tpu/ops/riccati.py) instead of a vmapped
+lax.scan.  Everything else (stage derivatives, forward line-search rollouts,
+AL multiplier updates) is the per-scenario core vmapped over the batch.
+
+Falls back to plain vmap(al_ilqr_solve) when the kernel is not applicable
+(batch not a multiple of 1024, or cfg.use_pallas_riccati disabled / CPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mmmpc_tpu.ocp.spec import OCP
+from mmmpc_tpu.solver.al_ilqr import (
+    SolveResult, _objective, al_ilqr_solve, build_core, rollout,
+)
+from mmmpc_tpu.utils.configs import SolverConfig
+from mmmpc_tpu.ops.riccati import LANES, riccati_backward
+
+
+def al_ilqr_solve_batched(ocp: OCP, x0_b, U0_b, params,
+                          cfg: SolverConfig = SolverConfig()) -> SolveResult:
+    """Solve a batch of scenarios sharing ``params``.
+
+    x0_b: (B, nx); U0_b: (B, N, nu).  Returns a SolveResult with a leading
+    batch axis on every field.
+    """
+    B = x0_b.shape[0]
+    use_kernel = (cfg.use_pallas_riccati and B % LANES == 0
+                  and jax.default_backend() != "cpu")
+    if not use_kernel:
+        return jax.vmap(
+            lambda x0, U0: al_ilqr_solve(ocp, x0, U0, params, cfg))(
+                x0_b, U0_b)
+
+    dtype = jnp.result_type(x0_b)
+    core = build_core(ocp, params, cfg, dtype)
+    N, nc, nct, ne = core.N, core.nc, core.nct, core.ne
+
+    rollout_b = jax.vmap(lambda x0, U: rollout(ocp, x0, U, params))
+    al_total_b = jax.vmap(core.al_total, in_axes=(0, 0, 0, None))
+    derivs_b = jax.vmap(jax.vmap(core.stage_derivs,
+                                 in_axes=(0, 0, 0, 0, None)),
+                        in_axes=(0, 0, None, 0, None))
+    term_derivs_b = jax.vmap(core.terminal_derivs,
+                             in_axes=(0, 0, 0, None))
+    fwd_b = jax.vmap(core.fwd_pass,
+                     in_axes=(0, 0, 0, 0, 0, None, 0, None))
+    eval_con_b = jax.vmap(core.eval_constraints)
+    viol_b = jax.vmap(core.violation)
+
+    def ilqr_iter(carry, lams_mu):
+        X, U, cost, reg = carry           # X (B,N+1,nx), cost (B,), reg (B,)
+        lams, mu = lams_mu
+
+        derivs = derivs_b(X[:, :-1], U, core.ks, lams[0], mu)
+        term_g, term_H = term_derivs_b(X[:, -1], lams[1], lams[2], mu)
+        kffs, Ks = riccati_backward(*derivs, term_g, term_H, reg)
+        kffs = kffs.astype(dtype)
+        Ks = Ks.astype(dtype)
+
+        alphas = cfg.alpha_decay ** jnp.arange(cfg.n_alpha, dtype=dtype)
+        Xc, Uc, cc = jax.vmap(
+            lambda a: fwd_b(X[:, 0], X, U, kffs, Ks, a, lams, mu))(alphas)
+        # Xc: (n_alpha, B, N+1, nx); cc: (n_alpha, B)
+        best = jnp.argmin(cc, axis=0)                       # (B,)
+        best_cost = jnp.take_along_axis(cc, best[None], axis=0)[0]
+        bsel = best[:, None, None]
+        X_best = jnp.take_along_axis(
+            jnp.moveaxis(Xc, 0, 1), bsel[..., None], axis=1)[:, 0]
+        U_best = jnp.take_along_axis(
+            jnp.moveaxis(Uc, 0, 1), bsel[..., None], axis=1)[:, 0]
+
+        improved = best_cost < cost - 1e-12                 # (B,)
+        X_new = jnp.where(improved[:, None, None], X_best, X)
+        U_new = jnp.where(improved[:, None, None], U_best, U)
+        cost_new = jnp.where(improved, best_cost, cost)
+        reg_new = jnp.where(improved,
+                            jnp.maximum(reg / cfg.reg_scale, cfg.reg_init),
+                            jnp.minimum(reg * cfg.reg_scale, cfg.reg_max))
+        return (X_new, U_new, cost_new, reg_new), None
+
+    def al_round(carry, i, inner_iters):
+        U, lam_stage, lam_term, lam_eq, _ = carry
+        mu = core.mu_at(i)
+        lams = (lam_stage, lam_term, lam_eq)
+        X, Uc = rollout_b(x0_b, U)
+        cost0 = al_total_b(X, Uc, lams, mu)
+        init = (X, Uc, cost0, jnp.full((B,), cfg.reg_init, dtype))
+        (X, U_new, _, _), _ = jax.lax.scan(
+            lambda c, _: ilqr_iter(c, (lams, mu)), init, None,
+            length=inner_iters)
+        cs, ct, he = eval_con_b(X, U_new)
+        lam_stage = jnp.maximum(0.0, lam_stage + mu * cs)
+        lam_term = jnp.maximum(0.0, lam_term + mu * ct)
+        lam_eq = lam_eq + mu * he
+        viol = viol_b(cs, ct, he)
+        return (U_new, lam_stage, lam_term, lam_eq, viol), None
+
+    carry0 = (jnp.asarray(U0_b, dtype), jnp.zeros((B, N, nc), dtype),
+              jnp.zeros((B, nct), dtype), jnp.zeros((B, ne), dtype),
+              jnp.full((B,), jnp.inf, dtype))
+    later_iters = (cfg.ilqr_iters_later if cfg.ilqr_iters_later is not None
+                   else cfg.ilqr_iters)
+    carry0, _ = al_round(carry0, jnp.asarray(0), cfg.ilqr_iters)
+    if cfg.al_iters > 1:
+        (U_fin, lam_stage, lam_term, lam_eq, viol), _ = jax.lax.scan(
+            lambda c, i: al_round(c, i, later_iters), carry0,
+            jnp.arange(1, cfg.al_iters))
+    else:
+        U_fin, lam_stage, lam_term, lam_eq, viol = carry0
+
+    X_fin, U_fin = rollout_b(x0_b, U_fin)
+    cost = jax.vmap(lambda X, U: _objective(ocp, X, U, params))(X_fin, U_fin)
+    return SolveResult(
+        X=X_fin, U=U_fin, cost=cost, max_violation=viol,
+        lam_stage=lam_stage, lam_term=lam_term, lam_eq=lam_eq,
+        converged=viol < cfg.constraint_tol)

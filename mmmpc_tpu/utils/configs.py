@@ -61,6 +61,10 @@ class SolverConfig:
     # arithmetic within float32 mantissa on TPU.  Solutions are unchanged
     # (uniform scaling); reported costs are in original units.
     cost_scale: float = 1.0
+    # Run the backward Riccati sweep as the Pallas batch-on-lanes kernel in
+    # the batched solver (requires TPU and batch % 1024 == 0; ~250x faster
+    # than the lax.scan sweep at batch 1024 on v5e).
+    use_pallas_riccati: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
