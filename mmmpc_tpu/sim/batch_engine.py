@@ -1,0 +1,99 @@
+"""Batched closed-loop scenario engine — thousands of rollouts on device.
+
+The reference runs exactly one closed-loop scenario per process
+(interface_wholebody_qref.py).  This engine runs a *batch* of closed-loop
+rollouts entirely on device: per tick it extracts each scenario's local
+reference window (vectorized nearest-point search, the jnp twin of
+runtime/reference.py), solves the batch of MPCs warm-started from the
+previous tick, applies u[0] through the model plant (the reference's
+physical_sim=False path), and carries per-scenario solver state through a
+``lax.scan`` over control ticks.
+
+Failure handling (SURVEY.md §5): a scenario whose solve comes back
+non-finite or grossly infeasible does not poison the batch — its command
+falls back to the previous control sequence shifted by one step, and the
+event is counted in the returned metrics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mmmpc_tpu.solver import al_ilqr_solve
+from mmmpc_tpu.utils.configs import SolverConfig
+
+
+class RolloutLog(NamedTuple):
+    X: jnp.ndarray           # (B, T+1, nx) closed-loop state trajectories
+    U: jnp.ndarray           # (B, T, nu) applied commands
+    cost: jnp.ndarray        # (B, T) per-tick MPC objective
+    violation: jnp.ndarray   # (B, T) per-tick max constraint violation
+    fallback: jnp.ndarray    # (B, T) bool: tick used the shifted fallback
+
+
+def _local_window(traj_ref, u_ref, x, distance_index, N):
+    """jnp twin of runtime/reference.local_ref_traj (single scenario)."""
+    d = traj_ref[:, distance_index] - x[distance_index]
+    min_idx = jnp.argmin(jnp.sum(d * d, axis=1))
+    idx = jnp.minimum(min_idx + jnp.arange(N + 1), traj_ref.shape[0] - 1)
+    idx_u = jnp.minimum(min_idx + jnp.arange(N), u_ref.shape[0] - 1)
+    return traj_ref[idx], u_ref[idx_u]
+
+
+def make_batch_closed_loop(ocp, cfg: SolverConfig, shared_params,
+                           distance_index, n_ticks: int,
+                           fallback_violation: float = 1.0):
+    """Build a jittable batched closed-loop rollout.
+
+    ocp: the controller's OCP (e.g. MPCWholeBody(...).ocp);
+    shared_params: the controller's make_params(...) dict *minus* X_ref /
+    U_ref / U_last, which are computed per scenario per tick;
+    distance_index: state components used for the nearest-point search
+    (e.g. [0, 1] for the move phase, [6, 7, 8] for manipulation).
+
+    Returns run(x0_b, traj_ref_b, u_ref_b) -> RolloutLog where
+    traj_ref_b: (B, T_ref+1, nx) global reference per scenario.
+    """
+    N = ocp.N
+    dist_idx = jnp.asarray(distance_index)
+
+    def solve_one(x, U_warm, traj_ref, u_ref):
+        X_ref, U_ref = _local_window(traj_ref, u_ref, x, dist_idx, N)
+        params = dict(shared_params, X_ref=X_ref, U_ref=U_ref, U_last=U_warm)
+        res = al_ilqr_solve(ocp, x, U_warm, params, cfg)
+        return res
+
+    def per_scenario(x, U_warm, traj_ref, u_ref):
+        res = solve_one(x, U_warm, traj_ref, u_ref)
+        u_new = res.U
+        ok = (jnp.all(jnp.isfinite(u_new))
+              & (res.max_violation < fallback_violation))
+        # shifted previous sequence as the fallback command
+        u_shift = jnp.concatenate([U_warm[1:], U_warm[-1:]], axis=0)
+        U_applied = jnp.where(ok, u_new, u_shift)
+        x_next = ocp.dynamics(x, U_applied[0])
+        return (x_next, U_applied, U_applied[0], res.cost,
+                res.max_violation, ~ok)
+
+    def run(x0_b, traj_ref_b, u_ref_b):
+        def tick(carry, _):
+            x_b, U_b = carry
+            x_next, U_next, u0, cost, viol, fb = jax.vmap(per_scenario)(
+                x_b, U_b, traj_ref_b, u_ref_b)
+            return (x_next, U_next), (x_next, u0, cost, viol, fb)
+
+        B = x0_b.shape[0]
+        U0_b = jnp.zeros((B, N, ocp.nu), x0_b.dtype)
+        (_, _), (Xs, Us, costs, viols, fbs) = jax.lax.scan(
+            tick, (x0_b, U0_b), None, length=n_ticks)
+        X = jnp.concatenate([x0_b[:, None], jnp.moveaxis(Xs, 0, 1)], axis=1)
+        return RolloutLog(X=X,
+                          U=jnp.moveaxis(Us, 0, 1),
+                          cost=jnp.moveaxis(costs, 0, 1),
+                          violation=jnp.moveaxis(viols, 0, 1),
+                          fallback=jnp.moveaxis(fbs, 0, 1))
+
+    return run
