@@ -116,3 +116,34 @@ def test_scenario0_physical_sim_completes():
     pose = world.manipulator_pose_log[-1]
     err = np.linalg.norm(pose[:3] - world.global_pose_target[:3])
     assert err <= 0.01 + 1e-6
+
+
+@pytest.mark.slow
+def test_scenario1_model_only_completes():
+    """The full scenario-1 task (table-corner half-planes, button cylinder
+    under the parked base): move -> approach -> rotate -> manipulate must
+    finish with the end effector on the button.  Note: while 'approach' is
+    active the FSM-injected terminal position equality can be dynamically
+    unreachable for a few ticks; the AL solver tracks it softly (the
+    reference's IPOPT would error out and then crash in its except path,
+    mpc_wholebody_qref.py:318-329) — so per-tick convergence flags are
+    allowed to dip, task completion is the contract."""
+    world = build_world(1, N=20, physical_sim=False)
+    world.run()
+    assert world.task_flag == "manipulate finish"
+    pose = world.manipulator_pose_log[-1]
+    err = np.linalg.norm(pose[:3] - world.global_pose_target[:3])
+    assert err <= 0.01 + 1e-6
+    flags = {r.task_flag for r in world.metrics.records}
+    assert {"move", "manipulate"} <= flags
+
+
+@pytest.mark.slow
+def test_scenario2_model_only_completes():
+    """Scenario 2 (wedge obstacle over the path) must also complete."""
+    world = build_world(2, N=20, physical_sim=False)
+    world.run()
+    assert world.task_flag == "manipulate finish"
+    pose = world.manipulator_pose_log[-1]
+    err = np.linalg.norm(pose[:3] - world.global_pose_target[:3])
+    assert err <= 0.01 + 1e-6
