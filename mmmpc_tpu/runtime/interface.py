@@ -233,6 +233,15 @@ class Interface:
                                     traj_length + 1)
         self.u_ref = np.zeros((traj_length, self.controller.ocp.nu))
 
+    def globalPlan1D(self):
+        """1-D position linspace (reference interface:231-244)."""
+        traj_length = int(self.desired_t_move / self.dt)
+        self.traj_ref = np.stack([
+            np.linspace(self.x_start[0], self.x_target[0], traj_length + 1),
+            np.zeros(traj_length + 1),
+        ], axis=1)
+        self.u_ref = np.zeros((traj_length, 1))
+
     def globalPlan3D(self):
         """End-effector pose linspace for the endpoint-reference controller
         (reference interface:297-309)."""
@@ -243,6 +252,37 @@ class Interface:
         self.traj_ref = np.linspace(pose_start, self.global_pose_target,
                                     traj_length + 1)
         self.u_ref = np.zeros((traj_length, self.controller.ocp.nu))
+
+    # ------------------------------------------------------ finish checks
+    def checkFinish1D(self):
+        """Reference interface:312-318."""
+        if (abs(self.current_state[0] - self.traj_ref[-1, 0]) <= 0.5
+                and abs(self.current_state[1] - self.u_ref[-1, 0]) <= 1e-2):
+            self.task_flag = "finish"
+
+    def checkFinish2D(self):
+        """Reference interface:321-330."""
+        threshold = 0.1
+        if (abs(self.current_state[0] - self.traj_ref[-1, 0]) <= threshold
+                and abs(self.current_state[1]
+                        - self.traj_ref[-1, 1]) <= threshold):
+            self.task_flag = "finish"
+
+    def checkFinishManipulator(self):
+        """Reference interface:333-338."""
+        if (np.linalg.norm(self.current_joints_pose[:3]
+                           - self.local_pose_target) <= 0.02):
+            self.task_flag = "finish"
+
+    def checkFinish3D(self):
+        """Reference interface:340-351 (endpoint-pose task variant)."""
+        if (np.linalg.norm(self.current_joints_pose[:4]
+                           - self.global_pose_target) <= 1
+                and self.task_flag == "move"):
+            self.task_flag = "approach"
+        if (np.linalg.norm(self.current_joints_pose[:4]
+                           - self.global_pose_target) <= 0.1):
+            self.task_flag = "finish"
 
     # --------------------------------------------------------- references
     def calcLocalRefTraj(self, distance_index, different_space=False):
@@ -308,6 +348,24 @@ class Interface:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
         return plt
+
+    def plot1D(self, save_path=None):
+        """Reference interface:480-510 (the 1-D demo's p/v/a panels)."""
+        plt = self._plt()
+        x_log = np.asarray(self.x_log)
+        u_log = np.asarray(self.u_log)
+        t = np.arange(len(x_log))
+        fig, axes = plt.subplots(4, 1, figsize=(8, 9))
+        axes[0].plot(t, x_log[:, 0]); axes[0].set_ylabel("p")
+        axes[1].plot(t, x_log[:, 1]); axes[1].set_ylabel("v")
+        axes[2].plot(t[: len(u_log)], u_log[:, 0]); axes[2].set_ylabel("a")
+        axes[3].plot(np.arange(self.traj_ref.shape[0]), self.traj_ref[:, 0])
+        axes[3].set_ylabel("p ref")
+        for ax in axes:
+            ax.grid(True)
+        if save_path:
+            fig.savefig(save_path)
+        plt.close(fig)
 
     def plot2D(self, save_path=None):
         plt = self._plt()

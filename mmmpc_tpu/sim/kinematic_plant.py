@@ -31,7 +31,6 @@ scenario engine.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -108,29 +107,42 @@ class KinematicPlant:
         # convert the observed (geometric) spawn pose to the control point
         state[0] += CENTER_OFFSET * np.cos(state[2])
         state[1] += CENTER_OFFSET * np.sin(state[2])
-        self._state = jnp.asarray(state)
-        self._last_action = jnp.zeros(N_ACTION)
-        self._step = jax.jit(lambda s, a: plant_step(s, a, dt))
-        self._obs = jax.jit(plant_observation)
+        self._state = state
+        self._last_action = np.zeros(N_ACTION)
 
     def n(self):
         """Action dimension (urdfenvs env.n())."""
         return N_ACTION
 
     def observation(self):
-        pos, vel = self._obs(self._state, self._last_action)
+        # numpy twin of plant_observation — the host plant must not round-trip
+        # a remote accelerator per 10 ms sim tick
+        s, a = self._state, self._last_action
+        yaw = s[2]
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        pos = np.concatenate([
+            [s[0] - CENTER_OFFSET * cy, s[1] - CENTER_OFFSET * sy, yaw],
+            s[3:],
+        ])
+        v_eff = -a[0]
+        vel = np.concatenate([[-v_eff * cy, -v_eff * sy, a[1]], a[2:]])
         return {
             "robot_0": {
-                "joint_state": {
-                    "position": np.asarray(pos),
-                    "velocity": np.asarray(vel),
-                }
+                "joint_state": {"position": pos, "velocity": vel}
             }
         }
 
     def step(self, action):
-        action = jnp.asarray(np.asarray(action, dtype=float))
-        self._state = self._step(self._state, action)
+        action = np.asarray(action, dtype=float)
+        s = self._state
+        yaw = s[2]
+        v_eff = -action[0]
+        self._state = np.concatenate([
+            [s[0] + self.dt * v_eff * np.cos(yaw),
+             s[1] + self.dt * v_eff * np.sin(yaw),
+             yaw + self.dt * action[1]],
+            s[3:] + self.dt * action[2:],
+        ])
         self._last_action = action
         return self.observation()
 
