@@ -284,6 +284,63 @@ class MPCWholeBody(ControllerBase):
         def dynamics_jacobians(x, u):
             return wholebody_jacobians(x, u, dt)
 
+        # ---- fully-structured AL expansion (no Jacobian materialized) ----
+        # Row layout of stage_ineq: [x_hi(9), x_lo(9), du_hi(5), du_lo(5)];
+        # of terminal_ineq: [x_hi(9), x_lo(9)].  Box rows are +-unit vectors,
+        # so their AL contributions are pure diagonal/vector updates; the
+        # tracking JtJ blocks are the weight matrices themselves; only the
+        # slack row contributes a rank-1 outer product (its gradient is the
+        # single reverse-mode pass through the FK).
+        def stage_al_expansion(x, u, k, p, lam_k, mu, inv_scale):
+            ex = x - p["X_ref"][k]
+            eu = u - p["U_ref"][k]
+            edu = u - p["U_last"][k]
+            z = jnp.concatenate([x, u])
+            smax, sgrad = _jax.value_and_grad(
+                lambda zz: relu_max(
+                    stage_slack_g(zz[:nxl], zz[nxl:], k, p)))(z)
+            sx, su = sgrad[:nxl], sgrad[nxl:]
+            S = p["S"]
+            two_s = 2.0 * inv_scale
+            gx = two_s * (p["Q"] @ ex + S * smax * sx)
+            gu = two_s * (p["R"] @ eu + p["W"] @ edu + S * smax * su)
+            Hxx = two_s * (p["Q"] + S * jnp.outer(sx, sx))
+            Huu = two_s * (p["R"] + p["W"] + S * jnp.outer(su, su))
+            Hux = two_s * (S * jnp.outer(su, sx))
+
+            c = stage_ineq(x, u, k, p)
+            t = jnp.maximum(0.0, lam_k + mu * c)
+            act = ((lam_k + mu * c) > 0).astype(x.dtype)
+            gx = gx + t[:nxl] - t[nxl:2 * nxl]
+            gu = gu + t[2 * nxl:2 * nxl + nul] - t[2 * nxl + nul:]
+            Hxx = Hxx + jnp.diag(mu * (act[:nxl] + act[nxl:2 * nxl]))
+            Huu = Huu + jnp.diag(
+                mu * (act[2 * nxl:2 * nxl + nul] + act[2 * nxl + nul:]))
+            return gx, gu, Hxx, Huu, Hux
+
+        def terminal_al_expansion(x, p, lam_t, lam_e, mu, inv_scale):
+            ex = x - p["X_ref"][N]
+            smax, sx = _jax.value_and_grad(
+                lambda xx: relu_max(terminal_slack_g(xx, p)))(x)
+            S = p["S"]
+            two_s = 2.0 * inv_scale
+            gx = two_s * (p["P"] @ ex + S * smax * sx)
+            Hxx = two_s * (p["P"] + S * jnp.outer(sx, sx))
+
+            c = terminal_ineq(x, p)
+            t = jnp.maximum(0.0, lam_t + mu * c)
+            act = ((lam_t + mu * c) > 0).astype(x.dtype)
+            gx = gx + t[:nxl] - t[nxl:]
+            Hxx = Hxx + jnp.diag(mu * (act[:nxl] + act[nxl:]))
+
+            # maskable terminal position equality: h = m*(x[:2]-ref)
+            m = p["eq_mask"]
+            h = terminal_eq(x, p)
+            geq = m * (lam_e + mu * h)                     # (2,)
+            gx = gx.at[:2].add(geq)
+            Hxx = Hxx.at[0, 0].add(mu * m * m).at[1, 1].add(mu * m * m)
+            return gx, Hxx
+
         return OCP(
             nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,
             stage_cost=stage_cost, terminal_cost=terminal_cost,
@@ -297,7 +354,9 @@ class MPCWholeBody(ControllerBase):
             stage_ineq_jac=stage_ineq_jac,
             terminal_ineq_jac=terminal_ineq_jac,
             terminal_eq_jac=terminal_eq_jac,
-            dynamics_jacobians=dynamics_jacobians)
+            dynamics_jacobians=dynamics_jacobians,
+            stage_al_expansion=stage_al_expansion,
+            terminal_al_expansion=terminal_al_expansion)
 
     # ------------------------------------------------------------------
     def reset(self):

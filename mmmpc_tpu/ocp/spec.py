@@ -82,9 +82,25 @@ class OCP:
     terminal_eq_jac: Optional[Callable] = None     # (x,params) -> (h, Jh)
     dynamics_jacobians: Optional[Callable] = None  # (x,u) -> (A, B)
 
+    # Fully-structured AL expansion (fastest of all): the controller returns
+    # the complete gradient/Hessian blocks of the scaled AL stage/terminal
+    # cost directly — no residual Jacobian is ever materialized (the JtJ of
+    # the quadratic tracking part is just the weight matrix, box rows are
+    # diagonal, the slack row is a rank-1 outer product).
+    # (x, u, k, params, lam_k, mu, inv_scale) -> (lx, lu, lxx, luu, lux)
+    stage_al_expansion: Optional[Callable] = None
+    # (x, params, lam_t, lam_e, mu, inv_scale) -> (gx, Hxx)
+    terminal_al_expansion: Optional[Callable] = None
+
     @property
     def has_hand_jacobians(self) -> bool:
         return (self.stage_gn is not None and self.terminal_gn is not None
+                and self.dynamics_jacobians is not None)
+
+    @property
+    def has_al_expansion(self) -> bool:
+        return (self.stage_al_expansion is not None
+                and self.terminal_al_expansion is not None
                 and self.dynamics_jacobians is not None)
 
     def clamp_u(self, u):

@@ -190,7 +190,16 @@ def build_core(ocp: OCP, params, cfg: SolverConfig, dtype):
         A, B = ocp.dynamics_jacobians(x, u)
         return (g[:nx], g[nx:], H[:nx, :nx], H[nx:, nx:], H[nx:, :nx], A, B)
 
-    stage_derivs = (stage_derivs_hand if use_hand
+    use_al_exp = ocp.has_al_expansion
+
+    def stage_derivs_al_exp(x, u, k, lam_k, mu):
+        lx, lu, lxx, luu, lux = ocp.stage_al_expansion(
+            x, u, k, params, lam_k, mu, inv_scale)
+        A, B = ocp.dynamics_jacobians(x, u)
+        return (lx, lu, lxx, luu, lux, A, B)
+
+    stage_derivs = (stage_derivs_al_exp if use_al_exp
+                    else stage_derivs_hand if use_hand
                     else stage_derivs_gn if use_gn else stage_derivs_exact)
 
     def terminal_res(x, lam_t, lam_e, mu):
@@ -221,6 +230,9 @@ def build_core(ocp: OCP, params, cfg: SolverConfig, dtype):
         return 2.0 * (J.T @ r), 2.0 * (J.T @ J)
 
     def terminal_derivs(x, lam_t, lam_e, mu):
+        if use_al_exp:
+            return ocp.terminal_al_expansion(x, params, lam_t, lam_e, mu,
+                                             inv_scale)
         if use_hand:
             return terminal_derivs_hand(x, lam_t, lam_e, mu)
         if use_gn:

@@ -99,3 +99,66 @@ def test_solver_paths_agree():
                                atol=1e-6)
     np.testing.assert_allclose(float(res_hand.cost), float(res_gn.cost),
                                rtol=1e-8)
+
+
+def test_al_expansion_matches_hand_path():
+    """The fully-structured AL expansion must equal the residual-Jacobian
+    hand path (same gradient and GN Hessian blocks)."""
+    mpc, x0, params = _qref_problem()
+    mpc.add_terminal_position_constraint()
+    params = dict(mpc.make_params(
+        np.asarray(params["X_ref"]), np.asarray(params["U_ref"])),
+        U_last=params["U_last"])
+    ocp = mpc.ocp
+    inv_scale = 1.0
+    mu = 25.0
+    rng = np.random.default_rng(17)
+    for _ in range(5):
+        x = x0 + jnp.asarray(rng.normal(size=9) * 0.1)
+        u = jnp.asarray(rng.normal(size=5) * 0.3)
+        k = int(rng.integers(0, mpc.N))
+        lam_k = jnp.asarray(np.abs(rng.normal(size=28)) * 3.0)
+
+        # reference: residual-Jacobian path
+        r, J = ocp.stage_gn(x, u, k, params)
+        c, Jc = ocp.stage_ineq_jac(x, u, k, params)
+        t = lam_k / mu + c
+        w = np.sqrt(mu / 2)
+        r_full = jnp.concatenate([r, w * jnp.maximum(0.0, t)])
+        J_full = jnp.concatenate(
+            [J, w * jnp.where((t > 0)[:, None], Jc, 0.0)], axis=0)
+        g_ref = 2.0 * (J_full.T @ r_full)
+        H_ref = 2.0 * (J_full.T @ J_full)
+
+        lx, lu, lxx, luu, lux = ocp.stage_al_expansion(
+            x, u, k, params, lam_k, mu, inv_scale)
+        np.testing.assert_allclose(np.asarray(lx), np.asarray(g_ref[:9]),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(lu), np.asarray(g_ref[9:]),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(lxx), np.asarray(H_ref[:9, :9]),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(luu), np.asarray(H_ref[9:, 9:]),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(lux), np.asarray(H_ref[9:, :9]),
+                                   rtol=1e-9, atol=1e-9)
+
+        # terminal
+        lam_t = jnp.asarray(np.abs(rng.normal(size=18)) * 3.0)
+        lam_e = jnp.asarray(rng.normal(size=2))
+        rt, Jt = ocp.terminal_gn(x, params)
+        ct, Jct = ocp.terminal_ineq_jac(x, params)
+        h, Jh = ocp.terminal_eq_jac(x, params)
+        tt = lam_t / mu + ct
+        r_full = jnp.concatenate([rt, w * jnp.maximum(0.0, tt),
+                                  w * (h + lam_e / mu)])
+        J_full = jnp.concatenate(
+            [Jt, w * jnp.where((tt > 0)[:, None], Jct, 0.0), w * Jh], axis=0)
+        g_ref = 2.0 * (J_full.T @ r_full)
+        H_ref = 2.0 * (J_full.T @ J_full)
+        gx, Hxx = ocp.terminal_al_expansion(x, params, lam_t, lam_e, mu,
+                                            inv_scale)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(g_ref),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(Hxx), np.asarray(H_ref),
+                                   rtol=1e-9, atol=1e-9)
