@@ -1,0 +1,73 @@
+"""Auxiliary subsystems: debugging helpers, profiling timers, metrics sink,
+long-horizon capability."""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mmmpc_tpu.controllers import MPCWholeBody
+from mmmpc_tpu.models.obstacles import Obstacles
+from mmmpc_tpu.models.robots import MobileManipulator
+from mmmpc_tpu.utils.configs import SolverConfig
+from mmmpc_tpu.utils.debugging import assert_finite_result, describe_result
+from mmmpc_tpu.utils.profiling import SectionTimer
+
+
+def test_long_horizon_solve():
+    """The 'sequence length' analogue: a 60-step horizon (3x the demo's)
+    solves in the same compiled structure (SURVEY.md §5 long-context row)."""
+    N = 60
+    mpc = MPCWholeBody(MobileManipulator(0.1), [Obstacles(2.0, 0.3, 0.4)],
+                       [], N=N, solver_config=SolverConfig(al_iters=6,
+                                                           ilqr_iters=25))
+    x0 = np.zeros(9)
+    x0[6:] = [0, -1.0, 1.0]
+    target = np.concatenate([[3.0, 0.5, 0, 0, 0, 0], x0[6:]])
+    traj = np.linspace(x0, target, N + 1)
+    u0 = mpc.solve(x0, traj, np.zeros((N, 5)))
+    res = mpc.last_result
+    assert res.U.shape == (N, 5)
+    assert_finite_result(res)
+    assert float(res.max_violation) < 1e-4
+    # makes real progress over the long horizon
+    assert float(res.X[-1, 0]) > 2.0
+
+
+def test_describe_result_formats():
+    mpc = MPCWholeBody(MobileManipulator(0.1), [], [], N=5,
+                       solver_config=SolverConfig(al_iters=2, ilqr_iters=4))
+    x0 = np.zeros(9)
+    x0[6:] = [0, -1.0, 1.0]
+    traj = np.tile(x0, (6, 1))
+    mpc.solve(x0, traj, np.zeros((5, 5)))
+    s = describe_result(mpc.last_result)
+    assert "cost=" in s and "converged=" in s
+
+
+def test_section_timer():
+    t = SectionTimer()
+    with t.section("a"):
+        sum(range(1000))
+    with t.section("a"):
+        sum(range(1000))
+    s = t.summary()
+    assert s["a"]["count"] == 2
+    assert s["a"]["total_s"] > 0
+
+
+def test_metrics_dump(tmp_path):
+    from demo_wholebody_qref import build_world
+    world = build_world(0, N=10, physical_sim=False)
+    world.current_state = world.x_start
+    world.task_flag = "move"
+    world.is_active = True
+    for _ in range(3):
+        world.timerCallback()   # one MPC solve per call
+    path = tmp_path / "metrics.json"
+    world.metrics.dump_json(path)
+    records = json.loads(path.read_text())
+    assert len(records) == 3
+    assert {"step", "task_flag", "cost", "max_violation", "converged",
+            "solve_latency_s"} <= set(records[0])
