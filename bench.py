@@ -67,8 +67,16 @@ def build_problem(batch):
 
 
 def main():
-    mpc, x0_b, U0_b, params = build_problem(BATCH)
-    run = jax.jit(controller_batched_fn(mpc))
+    n_dev = len(jax.devices())
+    batch = BATCH * n_dev          # keep per-chip batch constant
+    mpc, x0_b, U0_b, params = build_problem(batch)
+    if n_dev > 1:
+        # shard over all chips; stats reduce over ICI inside the program
+        from mmmpc_tpu.parallel import make_mesh, sharded_solve_fn
+        run = sharded_solve_fn(mpc.solve_fn(), make_mesh(),
+                               batch_impl=mpc.batch_solve_fn())
+    else:
+        run = jax.jit(controller_batched_fn(mpc))
 
     # compile + warm up
     res, stats = run(x0_b, U0_b, params)
@@ -80,12 +88,12 @@ def main():
     jax.block_until_ready(res.U)
     dt = time.perf_counter() - t0
 
-    solves_per_s = BATCH * REPS / dt
-    per_solve_latency = dt / REPS  # full-batch latency (all BATCH in parallel)
+    solves_per_s = batch * REPS / dt
+    per_solve_latency = dt / REPS  # full-batch latency (all in parallel)
 
     print(json.dumps({
-        "device": str(jax.devices()[0]),
-        "batch": BATCH, "reps": REPS, "horizon": N,
+        "device": str(jax.devices()[0]), "n_devices": n_dev,
+        "batch": batch, "reps": REPS, "horizon": N,
         "batch_latency_s": per_solve_latency,
         "converged_frac": float(stats.n_converged) / float(stats.n_solved),
         "max_violation": float(stats.max_violation),

@@ -71,16 +71,20 @@ def controller_batched_fn(controller):
     return _with_stats(controller.batch_solve_fn())
 
 
-def sharded_solve_fn(solve_fn, mesh: Mesh, axis_name: str = "data"):
+def sharded_solve_fn(solve_fn, mesh: Mesh, axis_name: str = "data",
+                     batch_impl=None):
     """shard_map the batched solve over the mesh's data axis.
 
-    The per-chip shard runs the vmapped solve; BatchStats are reduced with
-    psum/pmax over ICI inside the compiled program.  Batch size must divide
-    by the mesh size.  Returns a jitted callable
-    (x0_b, U0_b, params) -> (SolveResult sharded over batch, BatchStats
-    replicated).
+    The per-chip shard runs the batched solve (``batch_impl`` — e.g. a
+    controller's ``batch_solve_fn()`` with the Pallas Riccati kernel — or a
+    vmap of ``solve_fn``); BatchStats are reduced with psum/pmax over ICI
+    inside the compiled program.  Batch size must divide by the mesh size
+    (and per-shard batch should be a multiple of 1024 for the kernel path).
+    Returns a jitted callable (x0_b, U0_b, params) ->
+    (SolveResult sharded over batch, BatchStats replicated).
     """
-    run = batched_solve_fn(solve_fn)
+    run = (_with_stats(batch_impl) if batch_impl is not None
+           else batched_solve_fn(solve_fn))
 
     def shard_body(x0_b, U0_b, params):
         res, stats = run(x0_b, U0_b, params)

@@ -70,3 +70,20 @@ def test_graft_entry_single():
 def test_graft_entry_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_with_batch_impl(small_mpc):
+    """sharded_solve_fn with the natively-batched per-shard implementation
+    (the multi-chip bench path) matches the plain vmap shard path."""
+    B = 16
+    x0_b, U0_b, params = _problem(small_mpc, B)
+    mesh = make_mesh()
+    run_vmap = sharded_solve_fn(small_mpc.solve_fn(), mesh)
+    run_impl = sharded_solve_fn(small_mpc.solve_fn(), mesh,
+                                batch_impl=small_mpc.batch_solve_fn())
+    res_a, stats_a = run_vmap(x0_b, U0_b, params)
+    res_b, stats_b = run_impl(x0_b, U0_b, params)
+    np.testing.assert_allclose(np.asarray(res_a.U), np.asarray(res_b.U),
+                               atol=1e-10)
+    np.testing.assert_allclose(float(stats_a.mean_cost),
+                               float(stats_b.mean_cost), rtol=1e-10)
