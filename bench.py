@@ -38,7 +38,8 @@ REPS = 3
 # convergence floor — >98% of the batch meets it from a cold start on the
 # hardest (manipulate-phase, all-constraints-active) problem.
 SOLVER_CFG = SolverConfig(al_iters=8, ilqr_iters=20, cost_scale=1e5,
-                          constraint_tol=1e-3, n_alpha=4, alpha_decay=0.4)
+                          constraint_tol=1e-3, n_alpha=4, alpha_decay=0.4,
+                          scan_unroll=10)
 
 
 def build_problem(batch):

@@ -256,7 +256,7 @@ def build_core(ocp: OCP, params, cfg: SolverConfig, dtype):
 
         (x_last, cost), (Xs, Un) = jax.lax.scan(
             step, (x0, jnp.zeros((), dtype)),
-            (X[:-1], U, kffs, Ks, ks, lams[0]))
+            (X[:-1], U, kffs, Ks, ks, lams[0]), unroll=cfg.scan_unroll)
         cost = cost + al_terminal(x_last, lams[1], lams[2], mu)
         Xn = jnp.concatenate([Xs, x_last[None, :]], axis=0)
         return Xn, Un, cost

@@ -65,6 +65,10 @@ class SolverConfig:
     # the batched solver (requires TPU and batch % 1024 == 0; ~250x faster
     # than the lax.scan sweep at batch 1024 on v5e).
     use_pallas_riccati: bool = True
+    # Unroll factor for the sequential horizon scans (forward line-search
+    # rollouts).  The per-step working set is tiny, so the scan is
+    # launch/HBM-latency bound; unrolling lets XLA fuse consecutive steps.
+    scan_unroll: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
