@@ -341,8 +341,27 @@ class MPCWholeBody(ControllerBase):
             Hxx = Hxx.at[0, 0].add(mu * m * m).at[1, 1].add(mu * m * m)
             return gx, Hxx
 
+        # ---- fused forward line-search kernel (ops/wholebody_fwd.py) ----
+        xb = (self._x_lo, self._x_hi, self._x_mlo, self._x_mhi)
+        dub = (self._du_lo, self._du_hi, self._du_mlo, self._du_mhi)
+        ulim_np = self.ulim
+        n_obs, n_hp = self.n_obs, self.n_hp
+
+        def lanes_fwd_factory(cfg):
+            from mmmpc_tpu.ops.wholebody_fwd import make_fwd_linesearch
+            alphas = [cfg.alpha_decay ** i for i in range(cfg.n_alpha)]
+            return make_fwd_linesearch(
+                nx=self.NX, nu=self.NU, N=N, dt=dt,
+                base_radius=base_radius, n_obs=n_obs, n_hp=n_hp,
+                x_bounds=tuple(np.asarray(b) for b in xb),
+                du_bounds=tuple(np.asarray(b) for b in dub),
+                u_clamp=(ulim_np[0], ulim_np[1]),
+                alphas=alphas, inv_scale=1.0 / cfg.cost_scale,
+                bug_compat=bug_compat, moving=moving)
+
         return OCP(
             nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,
+            lanes_fwd_factory=lanes_fwd_factory,
             stage_cost=stage_cost, terminal_cost=terminal_cost,
             stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
             terminal_eq=terminal_eq,

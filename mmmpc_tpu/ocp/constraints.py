@@ -101,6 +101,8 @@ def box_g(v, lower, upper, finite_mask_lo, finite_mask_hi):
     lower/upper are dense arrays with +-inf replaced by 0 where masked; the
     static masks select which rows are emitted as real constraints.
     """
+    upper = jnp.asarray(upper, v.dtype)
+    lower = jnp.asarray(lower, v.dtype)
     g_hi = jnp.where(finite_mask_hi, v - upper, _NEG_BIG)
     g_lo = jnp.where(finite_mask_lo, lower - v, _NEG_BIG)
     return jnp.concatenate([g_hi, g_lo])

@@ -82,6 +82,14 @@ class OCP:
     terminal_eq_jac: Optional[Callable] = None     # (x,params) -> (h, Jh)
     dynamics_jacobians: Optional[Callable] = None  # (x,u) -> (A, B)
 
+    # Optional batch-on-lanes forward line-search kernel factory
+    # (ops/wholebody_fwd.py).  Signature: factory(cfg) -> fwd(X_bm, U_bm,
+    # kff_bm, K_bm, lam_bm, mu, params).  When provided (and on TPU with
+    # batch % 1024 == 0) the batched solver runs its whole inner loop in
+    # batch-minor layout with the rollout + line search fused into one
+    # Pallas kernel.
+    lanes_fwd_factory: Optional[Callable] = None
+
     # Fully-structured AL expansion (fastest of all): the controller returns
     # the complete gradient/Hessian blocks of the scaled AL stage/terminal
     # cost directly — no residual Jacobian is ever materialized (the JtJ of
@@ -106,6 +114,8 @@ class OCP:
     def clamp_u(self, u):
         if self.u_lower is None and self.u_upper is None:
             return u
-        lo = -jnp.inf if self.u_lower is None else self.u_lower
-        hi = jnp.inf if self.u_upper is None else self.u_upper
+        lo = (None if self.u_lower is None
+              else jnp.asarray(self.u_lower, u.dtype))
+        hi = (None if self.u_upper is None
+              else jnp.asarray(self.u_upper, u.dtype))
         return jnp.clip(u, lo, hi)

@@ -190,6 +190,43 @@ def riccati_backward(lx, lu, lxx, luu, lux, A, B, term_g, term_H, reg):
     reg_b = jnp.broadcast_to(jnp.asarray(reg, f32), (Bsz,))
     reg_arr = _t_term(reg_b)          # (nb, SUB, LANE)
 
+    kff_t, K_t = _invoke(args, tg, tH, reg_arr, N=N, nx=nx, nu=nu, nb=nb)
+    # back to batch-major
+    kff = _back(kff_t.reshape(N, nu, Bsz), Bsz)
+    K = _back(K_t.reshape(N, nu, nx, Bsz), Bsz)
+    return kff.astype(lx.dtype), K.astype(lx.dtype)
+
+
+def riccati_backward_bm(lx, lu, lxx, luu, lux, A, B, term_g, term_H, reg):
+    """Batch-minor variant: the batch is the LAST axis everywhere — the
+    kernel's native layout, so no data movement happens at all (reshapes
+    only).  Inputs: lx (N,nx,B), lu (N,nu,B), lxx (N,nx,nx,B),
+    luu (N,nu,nu,B), lux (N,nu,nx,B), A (N,nx,nx,B), Bm (N,nx,nu,B),
+    term_g (nx,B), term_H (nx,nx,B), reg (B,) or scalar.
+    Returns kff (N,nu,B), K (N,nu,nx,B)."""
+    N, nx = lx.shape[0], lx.shape[1]
+    nu = lu.shape[1]
+    Bsz = lx.shape[-1]
+    assert Bsz % LANES == 0, f"batch {Bsz} must be a multiple of {LANES}"
+    nb = Bsz // LANES
+    f32 = jnp.float32
+
+    def tile(a):
+        a = a.astype(f32)
+        return a.reshape(a.shape[:-1] + (nb, SUB, LANE))
+
+    args = [tile(a) for a in (lx, lu, lxx, luu, lux, A, B)]
+    reg_b = jnp.broadcast_to(jnp.asarray(reg, f32), (Bsz,))
+    kff_t, K_t = _invoke(args, tile(term_g), tile(term_H), tile(reg_b),
+                         N=N, nx=nx, nu=nu, nb=nb)
+    return (kff_t.reshape(N, nu, Bsz).astype(lx.dtype),
+            K_t.reshape(N, nu, nx, Bsz).astype(lx.dtype))
+
+
+def _invoke(args, tg, tH, reg_arr, *, N, nx, nu, nb):
+    """Shared pallas_call on tiled (N, ..., nb, SUB, LANE) inputs."""
+    f32 = jnp.float32
+
     def spec(trail, reversed_k=True):
         # block over (k, batch-tile); k iterated backward
         blk = (1,) + trail + (1, SUB, LANE)
@@ -220,7 +257,7 @@ def riccati_backward(lx, lu, lxx, luu, lux, A, B, term_g, term_H, reg):
     ]
 
     kernel = functools.partial(_kernel, nx=nx, nu=nu, N=N)
-    kff_t, K_t = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(nb, N),
         in_specs=in_specs,
@@ -234,8 +271,3 @@ def riccati_backward(lx, lu, lxx, luu, lux, A, B, term_g, term_H, reg):
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=INTERPRET,
     )(reg_arr, *args, tg, tH)
-
-    # back to batch-major
-    kff = _back(kff_t.reshape(N, nu, Bsz), Bsz)
-    K = _back(K_t.reshape(N, nu, nx, Bsz), Bsz)
-    return kff.astype(lx.dtype), K.astype(lx.dtype)

@@ -1,13 +1,20 @@
 """Natively-batched AL-iLQR — the high-throughput path.
 
-Same algorithm as al_ilqr_solve but with the batch as a leading axis
-throughout, so the backward Riccati sweep can run as the Pallas
-batch-on-lanes kernel (mmmpc_tpu/ops/riccati.py) instead of a vmapped
-lax.scan.  Everything else (stage derivatives, forward line-search rollouts,
-AL multiplier updates) is the per-scenario core vmapped over the batch.
+Same algorithm as al_ilqr_solve but with the batch as a whole-array axis
+throughout, so the hot loop can run as Pallas batch-on-lanes kernels:
 
-Falls back to plain vmap(al_ilqr_solve) when the kernel is not applicable
-(batch not a multiple of 1024, or cfg.use_pallas_riccati disabled / CPU).
+- **lanes path** (fastest; requires the OCP to provide a fused forward
+  line-search kernel via ``lanes_fwd_factory``): the entire inner loop is
+  *batch-minor* — every array carries the batch as its LAST axis, which is
+  exactly the (nb, 8, 128) tile layout the kernels consume, so the backward
+  Riccati sweep (ops/riccati.py) and the fused rollout + line search
+  (ops/wholebody_fwd.py) run with zero layout transposes; the stage-derivative
+  assembly is the same per-scenario code vmapped with in/out_axes=-1 (XLA
+  vectorizes over the minor batch axis).
+- **batch-major kernel path**: the Riccati sweep runs as the Pallas kernel
+  behind layout transposes; the line search stays a vmapped lax.scan.
+- **fallback**: plain vmap(al_ilqr_solve) when no kernel is applicable
+  (batch not a multiple of 1024, or disabled / CPU).
 """
 
 from __future__ import annotations
@@ -20,7 +27,9 @@ from mmmpc_tpu.solver.al_ilqr import (
     SolveResult, _objective, al_ilqr_solve, build_core, rollout,
 )
 from mmmpc_tpu.utils.configs import SolverConfig
-from mmmpc_tpu.ops.riccati import LANES, riccati_backward
+from mmmpc_tpu.ops.riccati import (
+    LANES, riccati_backward, riccati_backward_bm,
+)
 
 
 def al_ilqr_solve_batched(ocp: OCP, x0_b, U0_b, params,
@@ -37,6 +46,8 @@ def al_ilqr_solve_batched(ocp: OCP, x0_b, U0_b, params,
         return jax.vmap(
             lambda x0, U0: al_ilqr_solve(ocp, x0, U0, params, cfg))(
                 x0_b, U0_b)
+    if cfg.use_pallas_linesearch and ocp.lanes_fwd_factory is not None:
+        return _solve_batched_lanes(ocp, x0_b, U0_b, params, cfg)
 
     dtype = jnp.result_type(x0_b)
     core = build_core(ocp, params, cfg, dtype)
@@ -120,4 +131,109 @@ def al_ilqr_solve_batched(ocp: OCP, x0_b, U0_b, params,
     return SolveResult(
         X=X_fin, U=U_fin, cost=cost, max_violation=viol,
         lam_stage=lam_stage, lam_term=lam_term, lam_eq=lam_eq,
+        converged=viol < cfg.constraint_tol)
+
+
+def _solve_batched_lanes(ocp: OCP, x0_b, U0_b, params,
+                         cfg: SolverConfig) -> SolveResult:
+    """Batch-minor inner loop with both Pallas kernels (see module doc)."""
+    B = x0_b.shape[0]
+    dtype = jnp.result_type(x0_b)
+    core = build_core(ocp, params, cfg, dtype)
+    N, nc, nct, ne = core.N, core.nc, core.nct, core.ne
+    fwd_ls = ocp.lanes_fwd_factory(cfg)
+    alphas_idx = jnp.arange(cfg.n_alpha)
+
+    # ---- batch-minor vmapped building blocks --------------------------
+    rollout_bm = jax.vmap(lambda x0, U: rollout(ocp, x0, U, params),
+                          in_axes=(-1, -1), out_axes=-1)
+    al_total_bm = jax.vmap(core.al_total,
+                           in_axes=(-1, -1, (-1, -1, -1), None))
+    derivs_bm = jax.vmap(
+        jax.vmap(core.stage_derivs, in_axes=(0, 0, 0, 0, None)),
+        in_axes=(-1, -1, None, -1, None), out_axes=-1)
+    term_derivs_bm = jax.vmap(core.terminal_derivs,
+                              in_axes=(-1, -1, -1, None), out_axes=-1)
+    # terminal AL cost of the line-search candidates: (n_alpha, nx, B) ->
+    # (n_alpha, B); the multipliers are shared across candidates
+    al_term_bm = jax.vmap(
+        jax.vmap(core.al_terminal, in_axes=(-1, -1, -1, None)),
+        in_axes=(0, None, None, None))
+    eval_con_bm = jax.vmap(core.eval_constraints, in_axes=(-1, -1),
+                           out_axes=-1)
+    viol_bm = jax.vmap(core.violation, in_axes=(-1, -1, -1))
+
+    def ilqr_iter(carry, lams_mu):
+        X, U, cost, reg = carry     # X (N+1,nx,B), U (N,nu,B), cost/reg (B,)
+        lams, mu = lams_mu          # lam_stage (N,nc,B), lam_term (nct,B)
+
+        derivs = derivs_bm(X[:-1], U, core.ks, lams[0], mu)
+        term_g, term_H = term_derivs_bm(X[-1], lams[1], lams[2], mu)
+        kffs, Ks = riccati_backward_bm(*derivs, term_g, term_H, reg)
+        kffs = kffs.astype(dtype)
+        Ks = Ks.astype(dtype)
+
+        Xc, Uc, xlast, cc = fwd_ls(X[:-1], U, kffs, Ks, lams[0], mu, params)
+        cc = cc + al_term_bm(xlast, lams[1], lams[2], mu)   # (n_alpha, B)
+
+        best = jnp.argmin(cc, axis=0)                        # (B,)
+        onehot = (alphas_idx[:, None] == best[None, :]).astype(dtype)
+        best_cost = jnp.sum(cc * onehot, axis=0)
+        X_stage = jnp.einsum("kaxb,ab->kxb", Xc, onehot)
+        U_best = jnp.einsum("kaub,ab->kub", Uc, onehot)
+        x_last = jnp.einsum("axb,ab->xb", xlast, onehot)
+        X_best = jnp.concatenate([X_stage, x_last[None]], axis=0)
+
+        improved = best_cost < cost - 1e-12                  # (B,)
+        X_new = jnp.where(improved[None, None, :], X_best, X)
+        U_new = jnp.where(improved[None, None, :], U_best, U)
+        cost_new = jnp.where(improved, best_cost, cost)
+        reg_new = jnp.where(improved,
+                            jnp.maximum(reg / cfg.reg_scale, cfg.reg_init),
+                            jnp.minimum(reg * cfg.reg_scale, cfg.reg_max))
+        return (X_new, U_new, cost_new, reg_new), None
+
+    x0_bm = jnp.asarray(x0_b, dtype).T                       # (nx, B)
+    U0_bm = jnp.transpose(jnp.asarray(U0_b, dtype), (1, 2, 0))
+
+    def al_round(carry, i, inner_iters):
+        U, lam_stage, lam_term, lam_eq, _ = carry
+        mu = core.mu_at(i)
+        lams = (lam_stage, lam_term, lam_eq)
+        X, Uc = rollout_bm(x0_bm, U)
+        cost0 = al_total_bm(X, Uc, lams, mu)
+        init = (X, Uc, cost0, jnp.full((B,), cfg.reg_init, dtype))
+        (X, U_new, _, _), _ = jax.lax.scan(
+            lambda c, _: ilqr_iter(c, (lams, mu)), init, None,
+            length=inner_iters)
+        cs, ct, he = eval_con_bm(X, U_new)                   # (N,nc,B) ...
+        lam_stage = jnp.maximum(0.0, lam_stage + mu * cs)
+        lam_term = jnp.maximum(0.0, lam_term + mu * ct)
+        lam_eq = lam_eq + mu * he
+        viol = viol_bm(cs, ct, he)
+        return (U_new, lam_stage, lam_term, lam_eq, viol), None
+
+    carry0 = (U0_bm, jnp.zeros((N, nc, B), dtype),
+              jnp.zeros((nct, B), dtype), jnp.zeros((ne, B), dtype),
+              jnp.full((B,), jnp.inf, dtype))
+    later_iters = (cfg.ilqr_iters_later if cfg.ilqr_iters_later is not None
+                   else cfg.ilqr_iters)
+    carry0, _ = al_round(carry0, jnp.asarray(0), cfg.ilqr_iters)
+    if cfg.al_iters > 1:
+        (U_fin, lam_stage, lam_term, lam_eq, viol), _ = jax.lax.scan(
+            lambda c, i: al_round(c, i, later_iters), carry0,
+            jnp.arange(1, cfg.al_iters))
+    else:
+        U_fin, lam_stage, lam_term, lam_eq, viol = carry0
+
+    X_fin, U_fin = rollout_bm(x0_bm, U_fin)
+    cost = jax.vmap(lambda X, U: _objective(ocp, X, U, params),
+                    in_axes=(-1, -1))(X_fin, U_fin)
+    # back to the batch-major result contract
+    return SolveResult(
+        X=jnp.transpose(X_fin, (2, 0, 1)),
+        U=jnp.transpose(U_fin, (2, 0, 1)),
+        cost=cost, max_violation=viol,
+        lam_stage=jnp.transpose(lam_stage, (2, 0, 1)),
+        lam_term=lam_term.T, lam_eq=lam_eq.T,
         converged=viol < cfg.constraint_tol)

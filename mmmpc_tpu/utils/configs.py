@@ -65,6 +65,11 @@ class SolverConfig:
     # the batched solver (requires TPU and batch % 1024 == 0; ~250x faster
     # than the lax.scan sweep at batch 1024 on v5e).
     use_pallas_riccati: bool = True
+    # Run the forward rollout + line search as the fused Pallas kernel when
+    # the OCP provides one (requires TPU and batch % 1024 == 0); also moves
+    # the whole batched inner loop to batch-minor layout, eliminating the
+    # tiled-layout transposes around the Riccati kernel.
+    use_pallas_linesearch: bool = True
     # Unroll factor for the sequential horizon scans (forward line-search
     # rollouts).  The per-step working set is tiny, so the scan is
     # launch/HBM-latency bound; unrolling lets XLA fuse consecutive steps.

@@ -49,7 +49,11 @@ def test_batched_matches_vmap(problem, monkeypatch):
         lambda x0, U0: al_ilqr_solve(mpc.ocp, x0, U0, params, cfg))(
             x0_b[:S], U0_b[:S])
 
-    # force the batched+kernel path on CPU via the interpreter
+    # force the batched+kernel path on CPU via the interpreter (the
+    # batch-major Riccati-kernel path; the batch-minor lanes path has its
+    # own parity tests in test_fwd_lanes.py)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, use_pallas_linesearch=False)
     monkeypatch.setattr(ric, "INTERPRET", True)
     monkeypatch.setattr(batched_mod.jax, "default_backend", lambda: "tpu")
     res_b = al_ilqr_solve_batched(mpc.ocp, x0_b, U0_b, params, cfg)

@@ -1,0 +1,126 @@
+"""Parity of the fused forward line-search kernel (ops/wholebody_fwd.py)
+and the batch-minor lanes solver path against the pure-JAX implementations.
+
+Runs the kernels in pallas interpreter mode on CPU, in float32 (the kernels'
+native precision — the f64 oracle comparisons live in the solver tests).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mmmpc_tpu.ops.riccati as ric
+import mmmpc_tpu.ops.wholebody_fwd as fwd_mod
+import mmmpc_tpu.solver.batched as batched_mod
+from mmmpc_tpu.controllers import MPCWholeBody
+from mmmpc_tpu.models.obstacles import Obstacles
+from mmmpc_tpu.models.robots import MobileManipulator
+from mmmpc_tpu.solver import al_ilqr_solve_batched
+from mmmpc_tpu.solver.al_ilqr import build_core, rollout
+from mmmpc_tpu.utils.configs import SolverConfig
+
+B, N = 1024, 5
+F32 = jnp.float32
+
+
+@pytest.fixture()
+def problem():
+    cfg = SolverConfig(al_iters=2, ilqr_iters=4, n_alpha=3, alpha_decay=0.4,
+                       cost_scale=1e5, scan_unroll=5)
+    # one ground obstacle + one half-plane so every constraint family is live
+    mpc = MPCWholeBody(
+        MobileManipulator(0.1), [Obstacles(1.0, 0.2, 0.3)],
+        [(np.array([0.8, 0.1, 1.0]), np.array([[1.0, 0.0, 0.0]]))],
+        N=N, solver_config=cfg)
+    rng = np.random.default_rng(7)
+    x0 = np.zeros(9)
+    x0[6:] = [-np.pi / 4, -np.pi / 2, np.pi / 2]
+    x0_b = jnp.asarray(
+        x0[None] + 0.02 * rng.standard_normal((B, 9))
+        * np.array([1, 1, 0.2, 0, 0, 0, 0.1, 0.1, 0.1]), F32)
+    U0_b = jnp.asarray(0.1 * rng.standard_normal((B, N, 5)), F32)
+    target = np.concatenate([[0.5, 0.1, 0, 0, 0, 0], x0[6:]])
+    traj = jnp.asarray(np.linspace(x0, target, N + 1), F32)
+    params = dict(mpc.make_params(traj, np.zeros((N, 5))),
+                  U_last=jnp.zeros((N, 5), F32))
+    params = jax.tree.map(lambda a: jnp.asarray(a, F32), params)
+    return mpc, cfg, x0_b, U0_b, params
+
+
+def test_fwd_kernel_matches_fwd_pass(problem, monkeypatch):
+    """One fused-kernel call == vmapped core.fwd_pass for every candidate."""
+    mpc, cfg, x0_b, U0_b, params = problem
+    monkeypatch.setattr(fwd_mod, "INTERPRET", True)
+    ocp = mpc.ocp
+    core = build_core(ocp, params, cfg, F32)
+    rng = np.random.default_rng(11)
+
+    X_b, Uc_b = jax.vmap(lambda x0, U: rollout(ocp, x0, U, params))(
+        x0_b, U0_b)
+    kffs = jnp.asarray(0.05 * rng.standard_normal((B, N, 5)), F32)
+    Ks = jnp.asarray(0.05 * rng.standard_normal((B, N, 5, 9)), F32)
+    nc = core.nc
+    lam = jnp.asarray(np.abs(rng.standard_normal((B, N, nc))), F32)
+    lam_t = jnp.asarray(np.abs(rng.standard_normal((B, core.nct))), F32)
+    lam_e = jnp.zeros((B, core.ne), F32)
+    mu = jnp.asarray(10.0, F32)
+    alphas = cfg.alpha_decay ** jnp.arange(cfg.n_alpha, dtype=F32)
+
+    # reference: per-scenario fwd_pass vmapped over (alpha, batch)
+    fwd_b = jax.vmap(core.fwd_pass, in_axes=(0, 0, 0, 0, 0, None, 0, None))
+    Xr, Ur, cr = jax.vmap(
+        lambda a: fwd_b(X_b[:, 0], X_b, Uc_b, kffs, Ks, a,
+                        (lam, lam_t, lam_e), mu))(alphas)
+    # Xr: (n_alpha, B, N+1, nx); cr: (n_alpha, B) including terminal AL cost
+
+    # kernel: batch-minor
+    fwd_ls = ocp.lanes_fwd_factory(cfg)
+    bm = lambda a, perm: jnp.transpose(a, perm)
+    Xc, Uc, xlast, cc = fwd_ls(
+        bm(X_b[:, :-1], (1, 2, 0)), bm(Uc_b, (1, 2, 0)),
+        bm(kffs, (1, 2, 0)), bm(Ks, (1, 2, 3, 0)),
+        bm(lam, (1, 2, 0)), mu, params)
+    al_term_bm = jax.vmap(
+        jax.vmap(core.al_terminal, in_axes=(-1, -1, -1, None)),
+        in_axes=(0, None, None, None))
+    cc_tot = cc + al_term_bm(xlast, lam_t.T, lam_e.T, mu)
+
+    # Xc: (N, n_alpha, nx, B) -> (n_alpha, B, N, nx)
+    Xk = np.transpose(np.asarray(Xc), (1, 3, 0, 2))
+    Uk = np.transpose(np.asarray(Uc), (1, 3, 0, 2))
+    xl = np.transpose(np.asarray(xlast), (0, 2, 1))  # (n_alpha, B, nx)
+
+    np.testing.assert_allclose(Xk, np.asarray(Xr[:, :, :-1]), atol=2e-5)
+    np.testing.assert_allclose(xl, np.asarray(Xr[:, :, -1]), atol=2e-5)
+    np.testing.assert_allclose(Uk, np.asarray(Ur), atol=2e-5)
+    # costs are ~1e4 in scaled units spread over N stages; f32 op-order
+    # differences show up at ~1e-3 relative
+    np.testing.assert_allclose(np.asarray(cc_tot), np.asarray(cr),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_lanes_solve_matches_batch_major(problem, monkeypatch):
+    """Full batch-minor lanes solve vs the batch-major kernel path."""
+    mpc, cfg, x0_b, U0_b, params = problem
+    monkeypatch.setattr(fwd_mod, "INTERPRET", True)
+    monkeypatch.setattr(ric, "INTERPRET", True)
+    monkeypatch.setattr(batched_mod.jax, "default_backend", lambda: "tpu")
+
+    res_lanes = al_ilqr_solve_batched(mpc.ocp, x0_b, U0_b, params, cfg)
+    cfg_major = dataclasses.replace(cfg, use_pallas_linesearch=False)
+    res_major = al_ilqr_solve_batched(mpc.ocp, x0_b, U0_b, params,
+                                      cfg_major)
+
+    S = 64   # compare a slice (full-batch comparison is just more of same)
+    np.testing.assert_allclose(np.asarray(res_lanes.U[:S]),
+                               np.asarray(res_major.U[:S]),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(res_lanes.cost[:S]),
+                               np.asarray(res_major.cost[:S]),
+                               rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(res_lanes.max_violation[:S]),
+                               np.asarray(res_major.max_violation[:S]),
+                               atol=1e-3)
