@@ -359,9 +359,20 @@ class MPCWholeBody(ControllerBase):
                 alphas=alphas, inv_scale=1.0 / cfg.cost_scale,
                 bug_compat=bug_compat, moving=moving)
 
+        def lanes_bwd_factory(cfg):
+            from mmmpc_tpu.ops.wholebody_bwd import make_bwd_fused
+            return make_bwd_fused(
+                nx=self.NX, nu=self.NU, N=N, dt=dt,
+                base_radius=base_radius, n_obs=n_obs, n_hp=n_hp,
+                x_bounds=tuple(np.asarray(b) for b in xb),
+                du_bounds=tuple(np.asarray(b) for b in dub),
+                inv_scale=1.0 / cfg.cost_scale,
+                bug_compat=bug_compat, moving=moving)
+
         return OCP(
             nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,
             lanes_fwd_factory=lanes_fwd_factory,
+            lanes_bwd_factory=lanes_bwd_factory,
             stage_cost=stage_cost, terminal_cost=terminal_cost,
             stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
             terminal_eq=terminal_eq,

@@ -89,6 +89,10 @@ class OCP:
     # batch-minor layout with the rollout + line search fused into one
     # Pallas kernel.
     lanes_fwd_factory: Optional[Callable] = None
+    # Optional fused AL-expansion + Riccati backward kernel factory
+    # (ops/wholebody_bwd.py).  Signature: factory(cfg) -> bwd(X_bm, U_bm,
+    # lam_stage_bm, lam_term_bm, lam_eq_bm, mu, reg, params) -> (kff, K).
+    lanes_bwd_factory: Optional[Callable] = None
 
     # Fully-structured AL expansion (fastest of all): the controller returns
     # the complete gradient/Hessian blocks of the scaled AL stage/terminal

@@ -1,0 +1,687 @@
+"""Pallas TPU kernel: fused AL expansion + Riccati backward sweep for the
+whole-body qref MPC.
+
+After the forward pass was fused (ops/wholebody_fwd.py), the iteration was
+dominated by the stage-derivative assembly: the vmapped AL expansion writes
+~291 floats per (scenario, stage) of gradient/Hessian/Jacobian blocks to HBM
+(~24 MB per iteration at batch 1024) that the backward kernel immediately
+reads back.  This kernel computes the expansion *inside* the backward sweep —
+per stage it reads only (x_k, u_k, lam_k) ≈ 42 floats and keeps every
+intermediate in registers/VMEM:
+
+- **hand-derived constraint gradients**: the slack group's
+  grad(relu(max_i g_i)) is assembled from closed-form world-frame FK partials
+  (the same angle-sum forms as models/arm.py) with the even tie-splitting
+  semantics of jnp.max's VJP, so it matches the AD path bit-for-bit except at
+  ties of measure zero;
+- **constant-folding entry algebra**: the dynamics Jacobians A, B are sparse
+  (identity + a handful of dt terms, models/mobile_manipulator.py:56-84);
+  stage blocks are built as Python lists whose entries are either literal
+  floats or (8, 128) tiles, and the Riccati products skip literal zeros at
+  trace time — the A^T Vxx A contraction costs ~1/3 of its dense count;
+- the terminal expansion (P-weighted tracking + terminal slack group + box
+  rows + the maskable FSM equality) initializes the value function in-kernel.
+
+Replicates OCP semantics of controllers/wholebody_qref.py::stage_al_expansion
+/ terminal_al_expansion composed with solver/al_ilqr.py::backward_scan
+(reference formulation: /root/reference/controllers/mpc_wholebody_qref.py).
+Parity vs the vmapped-AD + riccati_backward_bm path is asserted in
+tests/test_fused_bwd.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mmmpc_tpu.models.arm import A2, A3, A5, A6, A7
+from mmmpc_tpu.ocp.constraints import (
+    OBSTACLE_EXPAND_DIST, SELF_COLLISION_RADIUS,
+)
+from mmmpc_tpu.utils.configs import BASELINK2JOINT1_X, BASELINK2JOINT1_Z
+
+SUB, LANE = 8, 128
+LANES = SUB * LANE
+
+# Set True to run the kernel through the pallas interpreter (CPU testing).
+INTERPRET = False
+
+_NEG_BIG = -1e9
+_EPS = 1e-9
+
+
+# --------------------------------------------------------------------------
+# constant-folding entry algebra: entries are Python floats or (8,128) tiles
+# --------------------------------------------------------------------------
+
+def _zero(v):
+    return isinstance(v, (int, float)) and v == 0.0
+
+
+def _one(v):
+    return isinstance(v, (int, float)) and v == 1.0
+
+
+def _mul(a, b):
+    if _zero(a) or _zero(b):
+        return 0.0
+    if _one(a):
+        return b
+    if _one(b):
+        return a
+    return a * b
+
+
+def _add(a, b):
+    if _zero(a):
+        return b
+    if _zero(b):
+        return a
+    return a + b
+
+
+def _dot(row, col):
+    acc = 0.0
+    for a, b in zip(row, col):
+        acc = _add(acc, _mul(a, b))
+    return acc
+
+
+def _as_tile(v):
+    if isinstance(v, (int, float)):
+        return jnp.full((SUB, LANE), v, jnp.float32)
+    return v
+
+
+# --------------------------------------------------------------------------
+# closed-form FK with partials (angle-sum forms of models/arm.py)
+# --------------------------------------------------------------------------
+
+def _fk_partials(x):
+    """World FK of (j2, j3, ee) plus everything needed for their gradients.
+
+    Returns a dict of tiles; q-partial tables are 3-lists over (q1, q2, q3).
+    """
+    px, py, psi = x[0], x[1], x[2]
+    q1, q2, q3 = x[6], x[7], x[8]
+    s1, c1 = jnp.sin(q1), jnp.cos(q1)
+    th = q1 - q2
+    st, ct = jnp.sin(th), jnp.cos(th)
+    be = th - q3
+    sb, cb = jnp.sin(be), jnp.cos(be)
+    cp, sp = jnp.cos(psi), jnp.sin(psi)
+
+    ax2 = A2 * s1 + A3 * c1
+    az2 = A2 * c1 - A3 * s1
+    D3 = A3 * st + A5 * ct          # d(-A3 ct + A5 st)/d th
+    E3 = A3 * ct - A5 * st          # d( A3 st + A5 ct)/d th
+    ax3 = ax2 - A3 * ct + A5 * st
+    az3 = az2 + A3 * st + A5 * ct
+    P6 = -A6 * sb - A7 * cb         # d( A6 cb - A7 sb)/d be
+    Q6 = -A6 * cb + A7 * sb         # d(-A6 sb - A7 cb)/d be
+    axe = ax3 + A6 * cb - A7 * sb
+    aze = az3 - A6 * sb - A7 * cb
+
+    # q-partials of the arm-frame coordinates (th = q1 - q2, be = th - q3)
+    ax2_q = [az2, 0.0, 0.0]
+    az2_q = [-ax2, 0.0, 0.0]
+    ax3_q = [az2 + D3, -D3, 0.0]
+    az3_q = [-ax2 + E3, -E3, 0.0]
+    axe_q = [az2 + D3 + P6, -(D3 + P6), -P6]
+    aze_q = [-ax2 + E3 + Q6, -(E3 + Q6), -Q6]
+
+    r2 = ax2 + BASELINK2JOINT1_X
+    r3 = ax3 + BASELINK2JOINT1_X
+    re = axe + BASELINK2JOINT1_X
+    j2 = [px + r2 * cp, py + r2 * sp, az2 + BASELINK2JOINT1_Z]
+    j3 = [px + r3 * cp, py + r3 * sp, az3 + BASELINK2JOINT1_Z]
+    ee = [px + re * cp, py + re * sp, aze + BASELINK2JOINT1_Z]
+
+    return dict(cp=cp, sp=sp, j2=j2, j3=j3, ee=ee, r2=r2, r3=r3, re=re,
+                ax2_q=ax2_q, az2_q=az2_q, ax3_q=ax3_q, az3_q=az3_q,
+                axe_q=axe_q, aze_q=aze_q)
+
+
+# world-space combination coefficients (alpha_j2, alpha_j3, alpha_ee)
+_SELF_CHECKS = ((0.0, 0.0, 0.0),      # world origin (reference quirk)
+                (0.5, 0.0, 0.0),      # j2/2
+                (1.0, 0.0, 0.0),      # j2
+                (0.5, 0.5, 0.0))      # (j2+j3)/2
+_HP_POINTS = ((0.5, 0.0, 0.0), (1.0, 0.0, 0.0), (0.5, 0.5, 0.0),
+              (0.0, 1.0, 0.0), (0.0, 0.5, 0.5), (0.0, 0.0, 1.0))
+
+
+def _combo(fk, al):
+    """World point and partial ingredients for a coefficient combo."""
+    aa, ab, ae = al
+    p = [_add(_add(_mul(aa, fk["j2"][c]), _mul(ab, fk["j3"][c])),
+              _mul(ae, fk["ee"][c])) for c in range(3)]
+    s = aa + ab + ae
+    R = _add(_add(_mul(aa, fk["r2"]), _mul(ab, fk["r3"])),
+             _mul(ae, fk["re"]))
+    AXq = [_add(_add(_mul(aa, fk["ax2_q"][i]), _mul(ab, fk["ax3_q"][i])),
+                _mul(ae, fk["axe_q"][i])) for i in range(3)]
+    AZq = [_add(_add(_mul(aa, fk["az2_q"][i]), _mul(ab, fk["az3_q"][i])),
+                _mul(ae, fk["aze_q"][i])) for i in range(3)]
+    return p, s, R, AXq, AZq
+
+
+def _slack_with_grads(x, fk, obs_vals, hp_faces, base_radius,
+                      include_selfcol=True):
+    """Slack-group values and hand gradients at one state.
+
+    Returns (values, grads): values is a list of tiles; grads a list of
+    9-entry lists (floats or tiles) — d g_i / d x.
+    """
+    cp, sp = fk["cp"], fk["sp"]
+    ee = fk["ee"]
+    vals, grads = [], []
+
+    # ground circles (reference obsAvoid, mpc_wholebody_qref.py:49-54)
+    for ox, oy, orad in obs_vals:
+        dx0 = x[0] - ox
+        dy0 = x[1] - oy
+        d = jnp.sqrt(dx0 * dx0 + dy0 * dy0 + _EPS)
+        vals.append((orad + base_radius) - d)
+        inv = 1.0 / d
+        grads.append([-dx0 * inv, -dy0 * inv, 0.0, 0.0, 0.0, 0.0,
+                      0.0, 0.0, 0.0])
+
+    # self-collision spheres (mpc_wholebody_qref.py:219-222)
+    if include_selfcol:
+        _, se, Re_, AXe, AZe = _combo(fk, (0.0, 0.0, 1.0))
+        for al in _SELF_CHECKS:
+            chk, s_a, R_a, AXa, AZa = _combo(fk, al)
+            v = [_add(chk[c], _mul(-1.0, ee[c])) for c in range(3)]
+            v = [_as_tile(t) for t in v]
+            nrm = jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2] + _EPS)
+            vals.append(SELF_COLLISION_RADIUS - nrm)
+            coef = -1.0 / nrm
+            dR = _add(R_a, _mul(-1.0, Re_))
+            vxy = _add(_mul(v[0], cp), _mul(v[1], sp))
+            gq = []
+            for i in range(3):
+                dAX = _add(AXa[i], _mul(-1.0, AXe[i]))
+                dAZ = _add(AZa[i], _mul(-1.0, AZe[i]))
+                gq.append(_mul(coef, _add(_mul(vxy, dAX),
+                                          _mul(v[2], dAZ))))
+            gpsi = _mul(coef, _mul(_add(_mul(-1.0, _mul(v[0], sp)),
+                                        _mul(v[1], cp)), dR))
+            spm1 = s_a - 1.0
+            grads.append([
+                _mul(coef, _mul(v[0], spm1)),
+                _mul(coef, _mul(v[1], spm1)),
+                gpsi, 0.0, 0.0, 0.0, gq[0], gq[1], gq[2],
+            ])
+
+    # half-plane unions (mpc_wholebody_qref.py:57-89): one row per sample
+    # point, inner max over faces with even tie-splitting (jnp.max VJP)
+    if hp_faces:
+        any_live = hp_faces[0][6]
+        for f in hp_faces[1:]:
+            any_live = any_live + f[6]
+        for al in _HP_POINTS:
+            p, s_b, R_b, AXb, AZb = _combo(fk, al)
+            ds = []
+            for (n0, n1, n2, o0, o1, o2, m) in hp_faces:
+                d = (n0 * (o0 - p[0]) + n1 * (o1 - p[1])
+                     + n2 * (o2 - p[2]))
+                ds.append(jnp.where(m > 0, d, _NEG_BIG))
+            dmax = ds[0]
+            for d in ds[1:]:
+                dmax = jnp.maximum(dmax, d)
+            vals.append(jnp.where(any_live > 0, -dmax, _NEG_BIG))
+            # effective (tie-split) normal
+            cnt = None
+            for d in ds:
+                mface = (d == dmax).astype(jnp.float32)
+                cnt = mface if cnt is None else cnt + mface
+            inv_cnt = 1.0 / cnt
+            en = [None, None, None]
+            for (n0, n1, n2, *_rest), d in zip(hp_faces, ds):
+                mface = (d == dmax).astype(jnp.float32) * inv_cnt
+                for c, nc in enumerate((n0, n1, n2)):
+                    t = mface * nc
+                    en[c] = t if en[c] is None else en[c] + t
+            nxy = _add(_mul(en[0], cp), _mul(en[1], sp))
+            gq = [_add(_mul(nxy, AXb[i]), _mul(en[2], AZb[i]))
+                  for i in range(3)]
+            gpsi = _mul(_add(_mul(-1.0, _mul(en[0], sp)),
+                             _mul(en[1], cp)), R_b)
+            grads.append([
+                _mul(en[0], s_b), _mul(en[1], s_b), gpsi,
+                0.0, 0.0, 0.0, gq[0], gq[1], gq[2],
+            ])
+
+    return vals, grads
+
+
+def _relu_max_grad(vals, grads, nvar):
+    """(smax, sgrad) of relu(max(vals)) with even tie-splitting (matches the
+    VJP of jnp.max / jnp.maximum)."""
+    gmax = vals[0]
+    for v in vals[1:]:
+        gmax = jnp.maximum(gmax, v)
+    smax = jnp.maximum(gmax, 0.0)
+    masks = [(v == gmax).astype(jnp.float32) for v in vals]
+    cnt = masks[0]
+    for m in masks[1:]:
+        cnt = cnt + m
+    # relu at exactly 0 splits 1/2 (jnp.maximum(0, .) VJP); combined factor
+    live = jnp.where(gmax > 0, 1.0,
+                     jnp.where(gmax == 0, 0.5, 0.0)) / cnt
+    sgrad = [0.0] * nvar
+    for m, gr in zip(masks, grads):
+        w = m * live
+        for i in range(nvar):
+            sgrad[i] = _add(sgrad[i], _mul(w, gr[i]))
+    return smax, sgrad
+
+
+# --------------------------------------------------------------------------
+# the fused kernel
+# --------------------------------------------------------------------------
+
+def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
+            xref_ref, uref_ref, ulast_ref, obs_ref, hpo_ref, hpn_ref,
+            hpm_ref, X_in, U_in, lam_in, xterm_in, lamt_in, lame_in,
+            reg_in, kff_out, K_out, Vx_s, Vxx_s, *,
+            nx, nu, N, dt, inv_scale, base_radius, n_obs, n_hp,
+            bug_compat, moving, x_bounds, du_bounds):
+    g = pl.program_id(1)
+    k = N - 1 - g            # stage index (backward)
+    mu = mu_ref[0, 0]
+    S = S_ref[0, 0]
+    two_s = 2.0 * inv_scale
+    x_lo, x_hi, x_mlo, x_mhi = x_bounds
+    du_lo, du_hi, du_mlo, du_mhi = du_bounds
+
+    def ld(ref, n):
+        arr = ref[0][..., 0, :, :]
+        return [arr[i] for i in range(n)]
+
+    def ld_term(ref, n):
+        arr = ref[...][..., 0, :, :]
+        return [arr[i] for i in range(n)]
+
+    def obs_vals(row):
+        out = []
+        for o in range(n_obs):
+            if moving:
+                out.append((obs_ref[row, o, 0], obs_ref[row, o, 1],
+                            obs_ref[row, o, 2]))
+            else:
+                out.append((obs_ref[o, 0], obs_ref[o, 1], obs_ref[o, 2]))
+        return out
+
+    hp_faces = [(hpn_ref[f, 0], hpn_ref[f, 1], hpn_ref[f, 2],
+                 hpo_ref[f, 0], hpo_ref[f, 1], hpo_ref[f, 2],
+                 hpm_ref[f, 0]) for f in range(n_hp)]
+
+    # ---------------- terminal expansion -> Vx, Vxx (first grid step) ----
+    @pl.when(g == 0)
+    def _():
+        xt = ld_term(xterm_in, nx)
+        lam_t = ld_term(lamt_in, 2 * nx)
+        lam_e = ld_term(lame_in, 2)
+        fkt = _fk_partials(xt)
+        vals, grads = _slack_with_grads(
+            xt, fkt, obs_vals(N if moving else 0), hp_faces, base_radius,
+            include_selfcol=not bug_compat)
+        smax, sx = _relu_max_grad(vals, grads, nx)
+
+        ex = [xt[i] - xref_ref[N, i] for i in range(nx)]
+        gx = []
+        for i in range(nx):
+            acc = 0.0
+            for j in range(nx):
+                acc = _add(acc, _mul(P_ref[i, j], ex[j]))
+            gx.append(two_s * (_as_tile(acc) + S * smax * _as_tile(sx[i])))
+        # box rows
+        act_d = [0.0] * nx
+        for i in range(nx):
+            if x_mhi[i]:
+                c = xt[i] - x_hi[i]
+                t = jnp.maximum(lam_t[i] + mu * c, 0.0)
+                gx[i] = gx[i] + t
+                act_d[i] = _add(act_d[i], (lam_t[i] + mu * c > 0)
+                                .astype(jnp.float32))
+            if x_mlo[i]:
+                c = x_lo[i] - xt[i]
+                t = jnp.maximum(lam_t[nx + i] + mu * c, 0.0)
+                gx[i] = gx[i] - t
+                act_d[i] = _add(act_d[i], (lam_t[nx + i] + mu * c > 0)
+                                .astype(jnp.float32))
+        # maskable terminal position equality (interface:167)
+        m = eqm_ref[0, 0]
+        for i in range(2):
+            h = m * (xt[i] - xref_ref[N, i])
+            gx[i] = gx[i] + m * (lam_e[i] + mu * h)
+
+        for i in range(nx):
+            Vx_s[i] = gx[i]
+            sxi = sx[i]
+            for j in range(nx):
+                h = two_s * (P_ref[i, j]
+                             + S * _as_tile(_mul(sxi, sx[j])))
+                if i == j:
+                    h = h + mu * _as_tile(act_d[i])
+                    if i < 2:
+                        h = h + mu * m * m
+                Vxx_s[i, j] = h
+
+    # ---------------- stage expansion ------------------------------------
+    xk = ld(X_in, nx)
+    uk = ld(U_in, nu)
+    lam = ld(lam_in, 2 * nx + 2 * nu)
+
+    fk = _fk_partials(xk)
+    vals, grads = _slack_with_grads(xk, fk, obs_vals(k), hp_faces,
+                                    base_radius)
+    # grads are d/dx only so far; u-grads appear only via the bug-compat
+    # terminal self-collision rows below
+    grads = [(gr, [0.0] * nu) for gr in grads]
+
+    # dynamics Jacobians (sparse closed form, mobile_manipulator.py:56-84)
+    cpsi, spsi = fk["cp"], fk["sp"]
+    dV = uk[0]
+    A = [[1.0 if i == j else 0.0 for j in range(nx)] for i in range(nx)]
+    A[0][3] = dt
+    A[1][4] = dt
+    A[2][5] = dt
+    A[3][2] = -dt * dV * spsi
+    A[3][4] = -dt * xk[5]
+    A[3][5] = -dt * xk[4]
+    A[4][2] = dt * dV * cpsi
+    A[4][3] = dt * xk[5]
+    A[4][5] = dt * xk[3]
+    Bm = [[0.0] * nu for _ in range(nx)]
+    Bm[3][0] = dt * cpsi
+    Bm[4][0] = dt * spsi
+    Bm[5][1] = dt
+    Bm[6][2] = dt
+    Bm[7][3] = dt
+    Bm[8][4] = dt
+
+    if bug_compat:
+        # terminal self-collision riding stage N-1 (stale slack index bug):
+        # rows at FK(f(x,u)); chain rule through the dynamics step
+        xn = [
+            xk[0] + dt * xk[3], xk[1] + dt * xk[4], xk[2] + dt * xk[5],
+            xk[3] + dt * (dV * cpsi - xk[4] * xk[5]),
+            xk[4] + dt * (dV * spsi + xk[3] * xk[5]),
+            xk[5] + dt * uk[1],
+            xk[6] + dt * uk[2], xk[7] + dt * uk[3], xk[8] + dt * uk[4],
+        ]
+        fkn = _fk_partials(xn)
+        pred = (k == N - 1)
+        tvals, tgrads = _slack_with_grads(xn, fkn, [], [], base_radius)
+        for tv, tg in zip(tvals, tgrads):
+            vals.append(jnp.where(pred, tv, _NEG_BIG))
+            gx_c = [_dot([A[p][i] for p in range(nx)], tg)
+                    for i in range(nx)]
+            gu_c = [_dot([Bm[p][i] for p in range(nx)], tg)
+                    for i in range(nu)]
+            grads.append((gx_c, gu_c))
+
+    smax, sgrad = _relu_max_grad(
+        vals, [gx_c + gu_c for gx_c, gu_c in grads], nx + nu)
+    sx = sgrad[:nx]
+    su = sgrad[nx:]
+
+    ex = [xk[i] - xref_ref[k, i] for i in range(nx)]
+    eu = [uk[i] - uref_ref[k, i] for i in range(nu)]
+    edu = [uk[i] - ulast_ref[k, i] for i in range(nu)]
+
+    Ssm = S * smax
+    lx = []
+    for i in range(nx):
+        acc = 0.0
+        for j in range(nx):
+            acc = _add(acc, _mul(Q_ref[i, j], ex[j]))
+        lx.append(two_s * (_as_tile(acc) + Ssm * _as_tile(sx[i])))
+    lu = []
+    for i in range(nu):
+        acc = 0.0
+        for j in range(nu):
+            acc = _add(acc, _add(_mul(R_ref[i, j], eu[j]),
+                                 _mul(W_ref[i, j], edu[j])))
+        lu.append(two_s * (_as_tile(acc) + Ssm * _as_tile(su[i])))
+
+    # box PHR rows: [x_hi, x_lo, du_hi, du_lo] (stage_al_expansion layout)
+    actx = [0.0] * nx
+    actu = [0.0] * nu
+    for i in range(nx):
+        if x_mhi[i]:
+            z = lam[i] + mu * (xk[i] - x_hi[i])
+            lx[i] = lx[i] + jnp.maximum(z, 0.0)
+            actx[i] = _add(actx[i], (z > 0).astype(jnp.float32))
+        if x_mlo[i]:
+            z = lam[nx + i] + mu * (x_lo[i] - xk[i])
+            lx[i] = lx[i] - jnp.maximum(z, 0.0)
+            actx[i] = _add(actx[i], (z > 0).astype(jnp.float32))
+    for i in range(nu):
+        if du_mhi[i]:
+            z = lam[2 * nx + i] + mu * (edu[i] - du_hi[i])
+            lu[i] = lu[i] + jnp.maximum(z, 0.0)
+            actu[i] = _add(actu[i], (z > 0).astype(jnp.float32))
+        if du_mlo[i]:
+            z = lam[2 * nx + nu + i] + mu * (du_lo[i] - edu[i])
+            lu[i] = lu[i] - jnp.maximum(z, 0.0)
+            actu[i] = _add(actu[i], (z > 0).astype(jnp.float32))
+
+    def lxx_e(i, j):
+        h = _add(two_s * Q_ref[i, j],
+                 _mul(two_s * S, _mul(sx[i], sx[j])))
+        if i == j:
+            h = _add(h, _mul(mu, actx[i]))
+        return h
+
+    def luu_e(i, j):
+        h = _add(two_s * (R_ref[i, j] + W_ref[i, j]),
+                 _mul(two_s * S, _mul(su[i], su[j])))
+        if i == j:
+            h = _add(h, _mul(mu, actu[i]))
+        return h
+
+    def lux_e(i, j):
+        return _mul(two_s * S, _mul(su[i], sx[j]))
+
+    # ---------------- Riccati step (entry algebra over sparse A, B) ------
+    Vx = [Vx_s[i] for i in range(nx)]
+    Vxx = [[Vxx_s[i, j] for j in range(nx)] for i in range(nx)]
+
+    Qx = [lx[i] + _as_tile(_dot([A[p][i] for p in range(nx)], Vx))
+          for i in range(nx)]
+    Qu = [lu[i] + _as_tile(_dot([Bm[p][i] for p in range(nx)], Vx))
+          for i in range(nu)]
+    WA = [[_dot(Vxx[p], [A[q][j] for q in range(nx)])
+           for j in range(nx)] for p in range(nx)]       # Vxx A
+    WB = [[_dot(Vxx[p], [Bm[q][j] for q in range(nx)])
+           for j in range(nu)] for p in range(nx)]       # Vxx B
+    Qxx = [[_as_tile(_add(lxx_e(i, j),
+                          _dot([A[p][i] for p in range(nx)],
+                               [WA[p][j] for p in range(nx)])))
+            for j in range(nx)] for i in range(nx)]
+    Quu = [[_as_tile(_add(luu_e(i, j),
+                          _dot([Bm[p][i] for p in range(nx)],
+                               [WB[p][j] for p in range(nx)])))
+            for j in range(nu)] for i in range(nu)]
+    Qux = [[_as_tile(_add(lux_e(i, j),
+                          _dot([Bm[p][i] for p in range(nx)],
+                               [WA[p][j] for p in range(nx)])))
+            for j in range(nx)] for i in range(nu)]
+
+    # Cholesky of Quu + reg I, solve for [kff | K]
+    reg = reg_in[0]
+    rhs = [[Qu[i]] + Qux[i] for i in range(nu)]          # (nu, 1+nx)
+    L = [[None] * nu for _ in range(nu)]
+    for i in range(nu):
+        for j in range(i + 1):
+            s_ = Quu[i][j]
+            if i == j:
+                s_ = s_ + reg
+            for p in range(j):
+                s_ = s_ - L[i][p] * L[j][p]
+            L[i][j] = jnp.sqrt(s_) if i == j else s_ / L[j][j]
+    m_ = 1 + nx
+    Y = [[None] * m_ for _ in range(nu)]
+    for c in range(m_):
+        for i in range(nu):
+            s_ = rhs[i][c]
+            for p in range(i):
+                s_ = s_ - L[i][p] * Y[p][c]
+            Y[i][c] = s_ / L[i][i]
+    Xs = [[None] * m_ for _ in range(nu)]
+    for c in range(m_):
+        for i in reversed(range(nu)):
+            s_ = Y[i][c]
+            for p in range(i + 1, nu):
+                s_ = s_ - L[p][i] * Xs[p][c]
+            Xs[i][c] = s_ / L[i][i]
+    kff = [-Xs[i][0] for i in range(nu)]
+    K = [[-Xs[i][1 + j] for j in range(nx)] for i in range(nu)]
+
+    # value function update (same algebra as ops/riccati.py::_kernel)
+    Quu_kff = [_dot(Quu[i], kff) for i in range(nu)]
+    Vx_n = []
+    for i in range(nx):
+        acc = Qx[i]
+        for p in range(nu):
+            acc = acc + K[p][i] * (Quu_kff[p] + Qu[p]) + Qux[p][i] * kff[p]
+        Vx_n.append(acc)
+    KtQuu = [[_dot([K[p][i] for p in range(nu)],
+                   [Quu[p][j] for p in range(nu)])
+              for j in range(nu)] for i in range(nx)]
+    for i in range(nx):
+        for j in range(nx):
+            acc = Qxx[i][j]
+            for p in range(nu):
+                acc = (acc + KtQuu[i][p] * K[p][j]
+                       + K[p][i] * Qux[p][j] + Qux[p][i] * K[p][j])
+            Vxx[i][j] = acc
+    for i in range(nx):
+        Vx_s[i] = Vx_n[i]
+        for j in range(nx):
+            Vxx_s[i, j] = 0.5 * (Vxx[i][j] + Vxx[j][i])
+
+    for i in range(nu):
+        kff_out[0, i, 0] = kff[i]
+        for j in range(nx):
+            K_out[0, i, j, 0] = K[i][j]
+
+
+def make_bwd_fused(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
+                   x_bounds, du_bounds, inv_scale, bug_compat, moving,
+                   interpret=False):
+    """Build the fused backward sweep for one whole-body qref OCP.
+
+    Returns bwd(X_bm (N+1,nx,B), U_bm (N,nu,B), lam_stage (N,nc,B),
+    lam_term (2nx,B), lam_eq (2,B), mu, reg (B,), params)
+        -> (kff (N,nu,B), K (N,nu,nx,B)).
+    """
+    nc = 2 * nx + 2 * nu
+    f32 = jnp.float32
+    x_bounds = tuple(tuple(float(v) if i < 2 else bool(v) for v in b)
+                     for i, b in enumerate(x_bounds))
+    du_bounds = tuple(tuple(float(v) if i < 2 else bool(v) for v in b)
+                      for i, b in enumerate(du_bounds))
+
+    kernel = functools.partial(
+        _kernel, nx=nx, nu=nu, N=N, dt=float(dt),
+        inv_scale=float(inv_scale), base_radius=float(base_radius),
+        n_obs=n_obs, n_hp=n_hp, bug_compat=bug_compat, moving=moving,
+        x_bounds=x_bounds, du_bounds=du_bounds)
+
+    def smem(shape):
+        return pl.BlockSpec(shape, lambda b, g: (0,) * len(shape),
+                            memory_space=pltpu.SMEM)
+
+    def vspec(trail):
+        blk = (1,) + trail + (1, SUB, LANE)
+
+        def imap(b, g):
+            return (N - 1 - g,) + (0,) * len(trail) + (b, 0, 0)
+
+        return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
+
+    def vspec_term(lead):
+        blk = lead + (1, SUB, LANE)
+
+        def imap(b, g):
+            return (0,) * len(lead) + (b, 0, 0)
+
+        return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
+
+    def bwd(X_bm, U_bm, lam_bm, lamt_bm, lame_bm, mu, reg, params):
+        Bsz = X_bm.shape[-1]
+        assert Bsz % LANES == 0
+        nb = Bsz // LANES
+
+        def tile(a):
+            a = a.astype(f32)
+            return a.reshape(a.shape[:-1] + (nb, SUB, LANE))
+
+        mu2 = jnp.asarray(mu, f32).reshape(1, 1)
+        S2 = jnp.asarray(params["S"], f32).reshape(1, 1)
+        eqm = jnp.asarray(params["eq_mask"], f32).reshape(1, 1)
+        Q = jnp.asarray(params["Q"], f32)
+        R = jnp.asarray(params["R"], f32)
+        W = jnp.asarray(params["W"], f32)
+        P = jnp.asarray(params["P"], f32)
+        X_ref = jnp.asarray(params["X_ref"], f32)
+        U_ref = jnp.asarray(params["U_ref"], f32)
+        U_last = jnp.asarray(params["U_last"], f32)
+        obs = jnp.asarray(params["obstacles"], f32)
+        if n_obs == 0:
+            obs = jnp.zeros((N + 1, 1, 3) if moving else (1, 3), f32)
+        hp_o = jnp.asarray(
+            params["hp_points"]
+            - OBSTACLE_EXPAND_DIST * params["hp_normals"], f32)
+        hp_n = jnp.asarray(params["hp_normals"], f32)
+        hp_m = jnp.asarray(params["hp_mask"], f32).reshape(n_hp, 1)
+        reg_b = jnp.broadcast_to(jnp.asarray(reg, f32), (Bsz,))
+
+        in_specs = [
+            smem((1, 1)), smem((1, 1)),                       # mu, S
+            smem((nx, nx)), smem((nu, nu)), smem((nu, nu)),   # Q, R, W
+            smem((nx, nx)), smem((1, 1)),                     # P, eq_mask
+            smem((N + 1, nx)), smem((N, nu)), smem((N, nu)),
+            (smem((N + 1, max(n_obs, 1), 3)) if moving
+             else smem((max(n_obs, 1), 3))),
+            smem((n_hp, 3)), smem((n_hp, 3)), smem((n_hp, 1)),
+            vspec((nx,)), vspec((nu,)), vspec((nc,)),
+            vspec_term((nx,)), vspec_term((2 * nx,)), vspec_term((2,)),
+            vspec_term(()),
+        ]
+        out_specs = [vspec((nu,)), vspec((nu, nx))]
+        out_shape = [
+            jax.ShapeDtypeStruct((N, nu, nb, SUB, LANE), f32),
+            jax.ShapeDtypeStruct((N, nu, nx, nb, SUB, LANE), f32),
+        ]
+
+        kff_t, K_t = pl.pallas_call(
+            kernel,
+            grid=(nb, N),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((nx, SUB, LANE), f32),
+                pltpu.VMEM((nx, nx, SUB, LANE), f32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret or INTERPRET,
+        )(mu2, S2, Q, R, W, P, eqm, X_ref, U_ref, U_last, obs,
+          hp_o, hp_n, hp_m, tile(X_bm[:-1]), tile(U_bm), tile(lam_bm),
+          tile(X_bm[-1]), tile(lamt_bm), tile(lame_bm), tile(reg_b))
+
+        return (kff_t.reshape(N, nu, Bsz), K_t.reshape(N, nu, nx, Bsz))
+
+    return bwd

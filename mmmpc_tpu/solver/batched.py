@@ -163,13 +163,21 @@ def _solve_batched_lanes(ocp: OCP, x0_b, U0_b, params,
                            out_axes=-1)
     viol_bm = jax.vmap(core.violation, in_axes=(-1, -1, -1))
 
+    bwd_fused = (ocp.lanes_bwd_factory(cfg)
+                 if (cfg.use_fused_backward
+                     and ocp.lanes_bwd_factory is not None) else None)
+
     def ilqr_iter(carry, lams_mu):
         X, U, cost, reg = carry     # X (N+1,nx,B), U (N,nu,B), cost/reg (B,)
         lams, mu = lams_mu          # lam_stage (N,nc,B), lam_term (nct,B)
 
-        derivs = derivs_bm(X[:-1], U, core.ks, lams[0], mu)
-        term_g, term_H = term_derivs_bm(X[-1], lams[1], lams[2], mu)
-        kffs, Ks = riccati_backward_bm(*derivs, term_g, term_H, reg)
+        if bwd_fused is not None:
+            kffs, Ks = bwd_fused(X, U, lams[0], lams[1], lams[2], mu, reg,
+                                 params)
+        else:
+            derivs = derivs_bm(X[:-1], U, core.ks, lams[0], mu)
+            term_g, term_H = term_derivs_bm(X[-1], lams[1], lams[2], mu)
+            kffs, Ks = riccati_backward_bm(*derivs, term_g, term_H, reg)
         kffs = kffs.astype(dtype)
         Ks = Ks.astype(dtype)
 

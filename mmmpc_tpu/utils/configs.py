@@ -70,6 +70,10 @@ class SolverConfig:
     # the whole batched inner loop to batch-minor layout, eliminating the
     # tiled-layout transposes around the Riccati kernel.
     use_pallas_linesearch: bool = True
+    # Run the AL expansion fused into the Riccati backward kernel when the
+    # OCP provides one (lanes path only): per stage the kernel reads just
+    # (x, u, lam) instead of ~291 floats of precomputed expansion blocks.
+    use_fused_backward: bool = True
     # Unroll factor for the sequential horizon scans (forward line-search
     # rollouts).  The per-step working set is tiny, so the scan is
     # launch/HBM-latency bound; unrolling lets XLA fuse consecutive steps.

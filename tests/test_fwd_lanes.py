@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import pytest
 
 import mmmpc_tpu.ops.riccati as ric
+import mmmpc_tpu.ops.wholebody_bwd as bwd_mod
 import mmmpc_tpu.ops.wholebody_fwd as fwd_mod
 import mmmpc_tpu.solver.batched as batched_mod
 from mmmpc_tpu.controllers import MPCWholeBody
@@ -106,6 +107,7 @@ def test_lanes_solve_matches_batch_major(problem, monkeypatch):
     """Full batch-minor lanes solve vs the batch-major kernel path."""
     mpc, cfg, x0_b, U0_b, params = problem
     monkeypatch.setattr(fwd_mod, "INTERPRET", True)
+    monkeypatch.setattr(bwd_mod, "INTERPRET", True)
     monkeypatch.setattr(ric, "INTERPRET", True)
     monkeypatch.setattr(batched_mod.jax, "default_backend", lambda: "tpu")
 
