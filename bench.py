@@ -31,7 +31,10 @@ from mmmpc_tpu.parallel import controller_batched_fn
 from mmmpc_tpu.utils.configs import SolverConfig, make_scenario
 
 N = 20
-BATCH = 1024
+# 4096 amortizes the per-iteration fixed costs (kernel launches, selection)
+# over 4 lane-tile blocks: 41.7k -> 54.1k solves/s vs batch 1024, still 100%
+# converged.  Per-chip batch is held constant when sharding over a mesh.
+BATCH = 4096
 REPS = 3
 # cost_scale keeps the ~1e5-magnitude objective inside float32 mantissa;
 # constraint_tol 1e-3 (on states of magnitude ~5 m / rad) is the float32
