@@ -1,0 +1,64 @@
+"""Associative-scan Riccati vs the sequential backward sweep."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmmpc_tpu.ops.assoc_riccati import (
+    assoc_riccati_backward, assoc_riccati_backward_batched,
+)
+from tests.test_pallas_riccati import reference_backward
+
+
+def make_problem(B, N, nx, nu, seed=0):
+    rng = np.random.default_rng(seed)
+
+    def mk(*s):
+        return jnp.asarray(rng.standard_normal(s))
+
+    lx, lu = mk(B, N, nx), mk(B, N, nu)
+    lxx = mk(B, N, nx, nx)
+    lxx = lxx @ jnp.swapaxes(lxx, -1, -2) + 5 * jnp.eye(nx)
+    luu = mk(B, N, nu, nu)
+    luu = luu @ jnp.swapaxes(luu, -1, -2) + 5 * jnp.eye(nu)
+    lux = 0.3 * mk(B, N, nu, nx)
+    A = mk(B, N, nx, nx) * 0.1 + jnp.eye(nx)
+    Bm = mk(B, N, nx, nu) * 0.1
+    tg = mk(B, nx)
+    tH = mk(B, nx, nx)
+    tH = tH @ jnp.swapaxes(tH, -1, -2) + 5 * jnp.eye(nx)
+    return lx, lu, lxx, luu, lux, A, Bm, tg, tH
+
+
+def test_assoc_matches_sequential():
+    args = make_problem(B=4, N=16, nx=9, nu=5)
+    reg = 1e-8
+    kff_ref, K_ref = reference_backward(*args, reg)
+    kff, K = assoc_riccati_backward_batched(*args, reg=reg)
+    np.testing.assert_allclose(np.asarray(kff), np.asarray(kff_ref),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_assoc_long_horizon():
+    """N = 512: the sequential sweep's depth-bound regime; results must stay
+    finite and match the sequential recursion."""
+    args = make_problem(B=2, N=512, nx=4, nu=2, seed=3)
+    reg = 1e-8
+    kff_ref, K_ref = reference_backward(*args, reg)
+    kff, K = assoc_riccati_backward_batched(*args, reg=reg)
+    np.testing.assert_allclose(np.asarray(kff), np.asarray(kff_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_assoc_single_scenario_jits():
+    args = make_problem(B=1, N=8, nx=3, nu=2, seed=5)
+    single = jax.tree.map(lambda a: a[0], tuple(args))
+    kff, K = jax.jit(lambda *a: assoc_riccati_backward(*a, reg=1e-8))(
+        *single)
+    kff_ref, K_ref = reference_backward(*args, 1e-8)
+    np.testing.assert_allclose(np.asarray(kff), np.asarray(kff_ref[0]),
+                               rtol=1e-6, atol=1e-7)
