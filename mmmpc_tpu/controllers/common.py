@@ -13,7 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mmmpc_tpu.solver import al_ilqr_solve
+from mmmpc_tpu.solver import al_ilqr_solve, shift_multipliers
 from mmmpc_tpu.utils.configs import SolverConfig
 
 
@@ -66,6 +66,16 @@ def weight_sqrt(W):
         vecs @ np.diag(np.sqrt(np.maximum(vals, 0.0))) @ vecs.T)
 
 
+def constraint_dims(ocp, params, dtype=jnp.float32):
+    """(nc, nct, ne) — static constraint-group widths of an OCP."""
+    zx = jnp.zeros(ocp.nx, dtype)
+    zu = jnp.zeros(ocp.nu, dtype)
+    nc = jax.eval_shape(ocp.stage_ineq, zx, zu, 0, params).shape[0]
+    nct = jax.eval_shape(ocp.terminal_ineq, zx, params).shape[0]
+    ne = jax.eval_shape(ocp.terminal_eq, zx, params).shape[0]
+    return nc, nct, ne
+
+
 class ControllerBase:
     """Warm-start bookkeeping + jitted solve shared by all controllers."""
 
@@ -74,10 +84,11 @@ class ControllerBase:
         self.solver_config = solver_config or SolverConfig()
         self.N = ocp.N
         self.u_latest = None
+        self.lam_latest = None
         self.last_result = None
         self._jit_solve = jax.jit(
-            lambda x0, U0, params: al_ilqr_solve(
-                self.ocp, x0, U0, params, self.solver_config))
+            lambda x0, U0, params, lam0: al_ilqr_solve(
+                self.ocp, x0, U0, params, self.solver_config, lam0=lam0))
 
     # -- functional access (batching / sharding layers build on these) -----
     def solve_fn(self):
@@ -97,12 +108,23 @@ class ControllerBase:
 
     def reset_warmstart(self):
         self.u_latest = None
+        self.lam_latest = None
 
     def _solve_impl(self, x_init, params):
         if self.u_latest is None:
             self.u_latest = jnp.zeros((self.N, self.ocp.nu))
         params = dict(params, U_last=self.u_latest)
-        res = self._jit_solve(jnp.asarray(x_init), self.u_latest, params)
+        if self.lam_latest is None:
+            nc, nct, ne = constraint_dims(self.ocp, params)
+            self.lam_latest = (jnp.zeros((self.N, nc)), jnp.zeros((nct,)),
+                               jnp.zeros((ne,)))
+        res = self._jit_solve(jnp.asarray(x_init), self.u_latest, params,
+                              self.lam_latest)
         self.u_latest = res.U
+        # carry the duals into the next tick (receding-horizon shift) —
+        # this is what lets the RT config track the optimum in a handful
+        # of sweeps instead of re-deriving multipliers from scratch
+        self.lam_latest = shift_multipliers(
+            res.lam_stage, res.lam_term, res.lam_eq)
         self.last_result = res
         return np.asarray(res.U[0])

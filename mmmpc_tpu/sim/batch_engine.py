@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from mmmpc_tpu.solver import al_ilqr_solve
+from mmmpc_tpu.solver import al_ilqr_solve, shift_multipliers
 from mmmpc_tpu.utils.configs import SolverConfig
 
 
@@ -60,35 +60,54 @@ def make_batch_closed_loop(ocp, cfg: SolverConfig, shared_params,
     N = ocp.N
     dist_idx = jnp.asarray(distance_index)
 
-    def solve_one(x, U_warm, traj_ref, u_ref):
+    def solve_one(x, U_warm, lams, traj_ref, u_ref):
         X_ref, U_ref = _local_window(traj_ref, u_ref, x, dist_idx, N)
         params = dict(shared_params, X_ref=X_ref, U_ref=U_ref, U_last=U_warm)
-        res = al_ilqr_solve(ocp, x, U_warm, params, cfg)
+        res = al_ilqr_solve(ocp, x, U_warm, params, cfg, lam0=lams)
         return res
 
-    def per_scenario(x, U_warm, traj_ref, u_ref):
-        res = solve_one(x, U_warm, traj_ref, u_ref)
+    def per_scenario(x, U_warm, lams, traj_ref, u_ref):
+        res = solve_one(x, U_warm, lams, traj_ref, u_ref)
         u_new = res.U
         ok = (jnp.all(jnp.isfinite(u_new))
               & (res.max_violation < fallback_violation))
         # shifted previous sequence as the fallback command
         u_shift = jnp.concatenate([U_warm[1:], U_warm[-1:]], axis=0)
         U_applied = jnp.where(ok, u_new, u_shift)
+        # dual warm start for the next tick; a failed solve keeps its old
+        # multipliers rather than inheriting garbage duals
+        lam_new = shift_multipliers(res.lam_stage, res.lam_term, res.lam_eq)
+        lam_next = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), lam_new, lams)
         x_next = ocp.dynamics(x, U_applied[0])
-        return (x_next, U_applied, U_applied[0], res.cost,
+        return (x_next, U_applied, lam_next, U_applied[0], res.cost,
                 res.max_violation, ~ok)
 
     def run(x0_b, traj_ref_b, u_ref_b):
         def tick(carry, _):
-            x_b, U_b = carry
-            x_next, U_next, u0, cost, viol, fb = jax.vmap(per_scenario)(
-                x_b, U_b, traj_ref_b, u_ref_b)
-            return (x_next, U_next), (x_next, u0, cost, viol, fb)
+            x_b, U_b, lam_b = carry
+            (x_next, U_next, lam_next, u0, cost, viol, fb) = jax.vmap(
+                per_scenario)(x_b, U_b, lam_b, traj_ref_b, u_ref_b)
+            return (x_next, U_next, lam_next), (x_next, u0, cost, viol, fb)
 
         B = x0_b.shape[0]
         U0_b = jnp.zeros((B, N, ocp.nu), x0_b.dtype)
-        (_, _), (Xs, Us, costs, viols, fbs) = jax.lax.scan(
-            tick, (x0_b, U0_b), None, length=n_ticks)
+        sample_params = dict(
+            shared_params,
+            X_ref=jnp.zeros((N + 1, ocp.nx), x0_b.dtype),
+            U_ref=jnp.zeros((N, ocp.nu), x0_b.dtype),
+            U_last=jnp.zeros((N, ocp.nu), x0_b.dtype))
+        zx = jnp.zeros(ocp.nx, x0_b.dtype)
+        zu = jnp.zeros(ocp.nu, x0_b.dtype)
+        nc = jax.eval_shape(ocp.stage_ineq, zx, zu, 0,
+                            sample_params).shape[0]
+        nct = jax.eval_shape(ocp.terminal_ineq, zx, sample_params).shape[0]
+        ne = jax.eval_shape(ocp.terminal_eq, zx, sample_params).shape[0]
+        lam0_b = (jnp.zeros((B, N, nc), x0_b.dtype),
+                  jnp.zeros((B, nct), x0_b.dtype),
+                  jnp.zeros((B, ne), x0_b.dtype))
+        (_, _, _), (Xs, Us, costs, viols, fbs) = jax.lax.scan(
+            tick, (x0_b, U0_b, lam0_b), None, length=n_ticks)
         X = jnp.concatenate([x0_b[:, None], jnp.moveaxis(Xs, 0, 1)], axis=1)
         return RolloutLog(X=X,
                           U=jnp.moveaxis(Us, 0, 1),

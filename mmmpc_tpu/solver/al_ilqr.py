@@ -316,9 +316,37 @@ def build_core(ocp: OCP, params, cfg: SolverConfig, dtype):
         eval_constraints=eval_constraints, violation=violation, mu_at=mu_at)
 
 
+def shift_multipliers(lam_stage, lam_term, lam_eq, decay: float = 0.5):
+    """Receding-horizon warm start for AL multipliers: shift the stage
+    multipliers forward one control period (repeat the last stage), keep the
+    terminal groups, and *damp* everything by ``decay``.
+
+    The damping is load-bearing: a solve's returned multipliers include one
+    final update applied at the largest penalty (lam += mu_last * c), which
+    overshoots whenever the inner solve is inexact (the RT budget).  Carrying
+    the full duals tick-over-tick winds that overshoot up into divergence;
+    the geometric decay makes the cross-tick dual loop a leaky integrator
+    whose steady state still pins the active constraints (measured: exact
+    0.0 steady-state violation at the 3x(6,4) RT budget vs ~4e-3 for
+    primal-only warm starts).  The TPU analogue of carrying IPOPT's duals
+    between ticks — the reference cold-starts its duals every tick
+    (mpc_wholebody_qref.py:295-304 warm-starts primal U only)."""
+    axis = lam_stage.ndim - 2 if lam_stage.ndim >= 2 else 0
+    shifted = jnp.concatenate(
+        [jax.lax.slice_in_dim(lam_stage, 1, None, axis=axis),
+         jax.lax.slice_in_dim(lam_stage, -1, None, axis=axis)], axis=axis)
+    return decay * shifted, decay * lam_term, decay * lam_eq
+
+
 def al_ilqr_solve(ocp: OCP, x0, U_init, params,
-                  cfg: SolverConfig = SolverConfig()) -> SolveResult:
-    """Solve the OCP from initial state x0 with warm-start inputs U_init."""
+                  cfg: SolverConfig = SolverConfig(),
+                  lam0=None) -> SolveResult:
+    """Solve the OCP from initial state x0 with warm-start inputs U_init.
+
+    lam0: optional (lam_stage (N, nc), lam_term (nct,), lam_eq (ne,)) warm
+    start for the AL multipliers (e.g. the previous tick's SolveResult fields
+    through ``shift_multipliers``).  Zeros when None (cold start).
+    """
     dtype = jnp.result_type(x0)
     core = build_core(ocp, params, cfg, dtype)
     N, nc, nct, ne = core.N, core.nc, core.nct, core.ne
@@ -366,9 +394,12 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
         viol = core.violation(cs, ct, he)
         return (U_new, lam_stage, lam_term, lam_eq, viol), None
 
-    carry0 = (jnp.asarray(U_init, dtype), jnp.zeros((N, nc), dtype),
-              jnp.zeros((nct,), dtype), jnp.zeros((ne,), dtype),
-              jnp.asarray(jnp.inf, dtype))
+    if lam0 is None:
+        lam0 = (jnp.zeros((N, nc), dtype), jnp.zeros((nct,), dtype),
+                jnp.zeros((ne,), dtype))
+    carry0 = (jnp.asarray(U_init, dtype),
+              jnp.asarray(lam0[0], dtype), jnp.asarray(lam0[1], dtype),
+              jnp.asarray(lam0[2], dtype), jnp.asarray(jnp.inf, dtype))
     # first AL round carries the heavy lifting; later rounds only track
     # multiplier updates with a shorter inner budget
     later_iters = (cfg.ilqr_iters_later if cfg.ilqr_iters_later is not None

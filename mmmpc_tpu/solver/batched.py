@@ -33,21 +33,29 @@ from mmmpc_tpu.ops.riccati import (
 
 
 def al_ilqr_solve_batched(ocp: OCP, x0_b, U0_b, params,
-                          cfg: SolverConfig = SolverConfig()) -> SolveResult:
+                          cfg: SolverConfig = SolverConfig(),
+                          lam0_b=None) -> SolveResult:
     """Solve a batch of scenarios sharing ``params``.
 
-    x0_b: (B, nx); U0_b: (B, N, nu).  Returns a SolveResult with a leading
-    batch axis on every field.
+    x0_b: (B, nx); U0_b: (B, N, nu).  lam0_b: optional batch-major multiplier
+    warm start (lam_stage (B, N, nc), lam_term (B, nct), lam_eq (B, ne)) —
+    the previous tick's SolveResult fields.  Returns a SolveResult with a
+    leading batch axis on every field.
     """
     B = x0_b.shape[0]
     use_kernel = (cfg.use_pallas_riccati and B % LANES == 0
-                  and jax.default_backend() != "cpu")
+                  and (jax.default_backend() != "cpu" or cfg.force_kernel))
     if not use_kernel:
+        if lam0_b is None:
+            return jax.vmap(
+                lambda x0, U0: al_ilqr_solve(ocp, x0, U0, params, cfg))(
+                    x0_b, U0_b)
         return jax.vmap(
-            lambda x0, U0: al_ilqr_solve(ocp, x0, U0, params, cfg))(
-                x0_b, U0_b)
+            lambda x0, U0, ls, lt, le: al_ilqr_solve(
+                ocp, x0, U0, params, cfg, lam0=(ls, lt, le)))(
+                x0_b, U0_b, *lam0_b)
     if cfg.use_pallas_linesearch and ocp.lanes_fwd_factory is not None:
-        return _solve_batched_lanes(ocp, x0_b, U0_b, params, cfg)
+        return _solve_batched_lanes(ocp, x0_b, U0_b, params, cfg, lam0_b)
 
     dtype = jnp.result_type(x0_b)
     core = build_core(ocp, params, cfg, dtype)
@@ -113,8 +121,12 @@ def al_ilqr_solve_batched(ocp: OCP, x0_b, U0_b, params,
         viol = viol_b(cs, ct, he)
         return (U_new, lam_stage, lam_term, lam_eq, viol), None
 
-    carry0 = (jnp.asarray(U0_b, dtype), jnp.zeros((B, N, nc), dtype),
-              jnp.zeros((B, nct), dtype), jnp.zeros((B, ne), dtype),
+    if lam0_b is None:
+        lam0_b = (jnp.zeros((B, N, nc), dtype), jnp.zeros((B, nct), dtype),
+                  jnp.zeros((B, ne), dtype))
+    carry0 = (jnp.asarray(U0_b, dtype),
+              jnp.asarray(lam0_b[0], dtype), jnp.asarray(lam0_b[1], dtype),
+              jnp.asarray(lam0_b[2], dtype),
               jnp.full((B,), jnp.inf, dtype))
     later_iters = (cfg.ilqr_iters_later if cfg.ilqr_iters_later is not None
                    else cfg.ilqr_iters)
@@ -135,7 +147,7 @@ def al_ilqr_solve_batched(ocp: OCP, x0_b, U0_b, params,
 
 
 def _solve_batched_lanes(ocp: OCP, x0_b, U0_b, params,
-                         cfg: SolverConfig) -> SolveResult:
+                         cfg: SolverConfig, lam0_b=None) -> SolveResult:
     """Batch-minor inner loop with both Pallas kernels (see module doc)."""
     B = x0_b.shape[0]
     dtype = jnp.result_type(x0_b)
@@ -221,8 +233,15 @@ def _solve_batched_lanes(ocp: OCP, x0_b, U0_b, params,
         viol = viol_bm(cs, ct, he)
         return (U_new, lam_stage, lam_term, lam_eq, viol), None
 
-    carry0 = (U0_bm, jnp.zeros((N, nc, B), dtype),
-              jnp.zeros((nct, B), dtype), jnp.zeros((ne, B), dtype),
+    if lam0_b is None:
+        lam0_bm = (jnp.zeros((N, nc, B), dtype),
+                   jnp.zeros((nct, B), dtype), jnp.zeros((ne, B), dtype))
+    else:
+        # batch-major (B, N, nc) / (B, nct) / (B, ne) -> batch-minor
+        lam0_bm = (jnp.transpose(jnp.asarray(lam0_b[0], dtype), (1, 2, 0)),
+                   jnp.asarray(lam0_b[1], dtype).T,
+                   jnp.asarray(lam0_b[2], dtype).T)
+    carry0 = (U0_bm, *lam0_bm,
               jnp.full((B,), jnp.inf, dtype))
     later_iters = (cfg.ilqr_iters_later if cfg.ilqr_iters_later is not None
                    else cfg.ilqr_iters)

@@ -78,6 +78,10 @@ class SolverConfig:
     # rollouts).  The per-step working set is tiny, so the scan is
     # launch/HBM-latency bound; unrolling lets XLA fuse consecutive steps.
     scan_unroll: int = 1
+    # Take the kernel path even on CPU (used with the kernels' interpret
+    # mode to exercise the exact multi-chip shard_map x Pallas configuration
+    # on the virtual device mesh without TPU hardware).
+    force_kernel: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -23,7 +23,7 @@ import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import build_problem
-from mmmpc_tpu.solver import al_ilqr_solve
+from mmmpc_tpu.solver import al_ilqr_solve, shift_multipliers
 from mmmpc_tpu.solver.batched import al_ilqr_solve_batched
 from mmmpc_tpu.utils.configs import SolverConfig
 
@@ -37,17 +37,20 @@ def pct(xs, q):
     return float(np.percentile(np.asarray(xs) * 1e3, q))
 
 
-def run_loop(solve, x0, U0, params):
-    res = solve(x0, U0, params)
+def run_loop(solve, x0, U0, params, lam0):
+    """Receding-horizon loop carrying BOTH primal (U) and dual (lam) warm
+    starts — the dual carry is what holds convergence at a 3x(6,4) budget."""
+    res = solve(x0, U0, params, lam0)
     jax.block_until_ready(res.U)
-    U = res.U
+    U, lam = res.U, shift_multipliers(res.lam_stage, res.lam_term, res.lam_eq)
     lat = []
     for _ in range(TICKS):
         t0 = time.perf_counter()
-        res = solve(x0, U, params)
+        res = solve(x0, U, params, lam)
         jax.block_until_ready(res.U)
         lat.append(time.perf_counter() - t0)
         U = res.U
+        lam = shift_multipliers(res.lam_stage, res.lam_term, res.lam_eq)
     return lat, res
 
 
@@ -56,15 +59,17 @@ def main():
     ocp = mpc.ocp
 
     single = jax.jit(
-        lambda x0, U0, p: al_ilqr_solve(ocp, x0, U0, p, RT_CFG))
-    lat1, res1 = run_loop(single, x0_b[0], U0_b[0], params)
+        lambda x0, U0, p, lam0: al_ilqr_solve(ocp, x0, U0, p, RT_CFG,
+                                              lam0=lam0))
+    lat1, res1 = run_loop(single, x0_b[0], U0_b[0], params, None)
     print(f"B=1    p50 {pct(lat1, 50):6.1f} ms  p99 {pct(lat1, 99):6.1f} ms"
           f"  converged={bool(res1.converged)}"
           f"  viol={float(res1.max_violation):.2e}")
 
     batched = jax.jit(
-        lambda x0, U0, p: al_ilqr_solve_batched(ocp, x0, U0, p, RT_CFG))
-    latB, resB = run_loop(batched, x0_b, U0_b, params)
+        lambda x0, U0, p, lam0: al_ilqr_solve_batched(ocp, x0, U0, p, RT_CFG,
+                                                      lam0_b=lam0))
+    latB, resB = run_loop(batched, x0_b, U0_b, params, None)
     conv = float(jnp.mean(resB.converged.astype(jnp.float32)))
     print(f"B=1024 p50 {pct(latB, 50):6.1f} ms  p99 {pct(latB, 99):6.1f} ms"
           f"  converged={conv*100:.1f}%"
