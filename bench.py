@@ -35,14 +35,19 @@ N = 20
 # over 4 lane-tile blocks: 41.7k -> 54.1k solves/s vs batch 1024, still 100%
 # converged.  Per-chip batch is held constant when sharding over a mesh.
 BATCH = 4096
-REPS = 3
+# sustained throughput: enough pipelined repetitions that the per-dispatch
+# host->device tunnel overhead (~0.7 ms/call through axon) amortizes
+REPS = 10
 # cost_scale keeps the ~1e5-magnitude objective inside float32 mantissa;
 # constraint_tol 1e-3 (on states of magnitude ~5 m / rad) is the float32
-# convergence floor — >98% of the batch meets it from a cold start on the
-# hardest (manipulate-phase, all-constraints-active) problem.
-SOLVER_CFG = SolverConfig(al_iters=8, ilqr_iters=20, cost_scale=1e5,
-                          constraint_tol=1e-3, n_alpha=4, alpha_decay=0.4,
-                          scan_unroll=10)
+# convergence floor.  Schedule found by sweep (scripts/try_mu.py,
+# try_final.py, try_mumax.py): 20 inner sweeps in the first AL round, 12 in
+# each later round, 3 line-search candidates at decay 0.35 — the cheapest
+# schedule that converges 100% of the batch from a cold start on the hardest
+# (manipulate-phase, all-constraints-active) problem.
+SOLVER_CFG = SolverConfig(al_iters=8, ilqr_iters=20, ilqr_iters_later=12,
+                          cost_scale=1e5, constraint_tol=1e-3, n_alpha=3,
+                          alpha_decay=0.35, scan_unroll=10)
 
 
 def build_problem(batch):

@@ -32,8 +32,10 @@ controller's AL stage cost exactly (asserted in tests/test_fwd_lanes.py):
     cost += stage_cost(x_k, u_k) / cost_scale + PHR(stage_ineq, lam_k, mu)
     x_{k+1} = f(x_k, u_k)
 
-The terminal AL cost is added outside the kernel (one fused XLA op on the
-returned last states).
+The terminal AL cost (P-tracking + terminal slack groups + PHR on the
+terminal boxes + the maskable position equality) is fused into the last
+grid step, where the FK of x_N is already in registers — the returned
+per-candidate costs are complete.
 
 Reference formulation being accelerated: /root/reference/controllers/
 mpc_wholebody_qref.py:142-331 (costs/constraints) and the rollout protocol
@@ -145,9 +147,10 @@ def _qform(M_ref, e, n):
     return acc
 
 
-def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, xref_ref, uref_ref,
-            ulast_ref, obs_ref, hpo_ref, hpn_ref, hpm_ref,
-            X_in, U_in, kff_in, K_in, lam_in,
+def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
+            xref_ref, uref_ref,
+            ulast_ref, obs_ref, obst_ref, hpo_ref, hpn_ref, hpm_ref,
+            X_in, U_in, kff_in, K_in, lam_in, lamt_in, lame_in,
             Xc_out, Uc_out, xlast_out, cc_out,
             x_s, fk_s, cost_s, *,
             nx, nu, N, n_alpha, alphas, dt, inv_scale, base_radius,
@@ -299,9 +302,71 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, xref_ref, uref_ref,
 
         @pl.when(g == N - 1)
         def _():
+            # ---- terminal AL cost, fused (replicates al_ilqr.al_terminal:
+            # P-tracking + S*relu_max(terminal slack groups)^2 + PHR on the
+            # terminal state boxes + the maskable position equality).  The
+            # FK of xn is already in registers — no extra horizon pass.
+            exN = [xn[i] - xref_ref[N, i] for i in range(nx)]
+            trackN = _qform(P_ref, exN, nx)
+
+            gsN = []
+            for o in range(n_obs):
+                ox, oy, orad = (obst_ref[o, 0], obst_ref[o, 1],
+                                obst_ref[o, 2])
+                dx0 = xn[0] - ox
+                dy0 = xn[1] - oy
+                gsN.append((orad + base_radius)
+                           - jnp.sqrt(dx0 * dx0 + dy0 * dy0 + _EPS))
+            ptsN = (
+                [j2n[c] / 2 for c in range(3)],
+                j2n,
+                [(j2n[c] + j3n[c]) / 2 for c in range(3)],
+                j3n,
+                [(j3n[c] + een[c]) / 2 for c in range(3)],
+                een,
+            )
+            for p in ptsN:
+                dmax = None
+                for f in range(n_hp):
+                    d = None
+                    for c in range(3):
+                        t = hpn_ref[f, c] * (hpo_ref[f, c] - p[c])
+                        d = t if d is None else d + t
+                    d = jnp.where(hpm_ref[f, 0] > 0, d, _NEG_BIG)
+                    dmax = d if dmax is None else jnp.maximum(dmax, d)
+                gsN.append(jnp.where(any_live > 0, -dmax, _NEG_BIG))
+            if not bug_compat:
+                gsN += _selfcol(een, j2n, j3n)
+            gmaxN = gsN[0]
+            for t in gsN[1:]:
+                gmaxN = jnp.maximum(gmaxN, t)
+            smaxN = jnp.maximum(gmaxN, 0.0)
+
+            lam_t = [lamt_in[i, 0] for i in range(2 * nx)]
+            penN = None
+            for i in range(nx):
+                for r, c in ((i, (xn[i] - x_hi[i]) if x_mhi[i] else None),
+                             (nx + i,
+                              (x_lo[i] - xn[i]) if x_mlo[i] else None)):
+                    if c is None:
+                        term = -lam_t[r] * lam_t[r]
+                    else:
+                        t = jnp.maximum(lam_t[r] + mu * c, 0.0)
+                        term = t * t - lam_t[r] * lam_t[r]
+                    penN = term if penN is None else penN + term
+
+            lam_e = [lame_in[i, 0] for i in range(2)]
+            eqm = eqm_ref[0, 0]
+            peneq = jnp.zeros((SUB, LANE), jnp.float32)
+            for i in range(2):
+                h = eqm * (xn[i] - xref_ref[N, i])
+                peneq = peneq + lam_e[i] * h + 0.5 * mu * h * h
+
+            cterm = (cost_s[a] + inv_scale * (trackN + S * smaxN * smaxN)
+                     + penN / (2.0 * mu) + peneq)
             for i in range(nx):
                 xlast_out[a, i, 0] = xn[i]
-            cc_out[a, 0] = cost_s[a]
+            cc_out[a, 0] = cterm
 
 
 def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
@@ -313,12 +378,13 @@ def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
     kernel; runtime data (weights, references, obstacle geometry, multipliers,
     mu) arrives per call.  Returns
 
-        fwd(X_bm, U_bm, kff_bm, K_bm, lam_bm, mu, params)
+        fwd(X_bm, U_bm, kff_bm, K_bm, lam_bm, lamt_bm, lame_bm, mu, params)
             -> (Xc (N, n_alpha, nx, B), Uc (N, n_alpha, nu, B),
-                xlast (n_alpha, nx, B), cc_stage (n_alpha, B))
+                xlast (n_alpha, nx, B), cc (n_alpha, B))
 
-    with all arrays batch-minor and B % 1024 == 0.  cc_stage excludes the
-    terminal AL cost (added by the caller on xlast).
+    with all arrays batch-minor and B % 1024 == 0.  cc INCLUDES the terminal
+    AL cost (fwd.includes_terminal == True); lamt_bm (2*nx, B) and
+    lame_bm (2, B) are the terminal box / equality multipliers.
     """
     n_alpha = len(alphas)
     nc = 2 * nx + 2 * nu
@@ -360,7 +426,7 @@ def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
 
         return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
 
-    def fwd(X_bm, U_bm, kff_bm, K_bm, lam_bm, mu, params):
+    def fwd(X_bm, U_bm, kff_bm, K_bm, lam_bm, lamt_bm, lame_bm, mu, params):
         Bsz = X_bm.shape[-1]
         assert Bsz % LANES == 0, f"batch {Bsz} must be a multiple of {LANES}"
         nb = Bsz // LANES
@@ -374,32 +440,51 @@ def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
         Q = jnp.asarray(params["Q"], f32)
         R = jnp.asarray(params["R"], f32)
         W = jnp.asarray(params["W"], f32)
+        P = jnp.asarray(params["P"], f32)
+        eqm = jnp.asarray(params["eq_mask"], f32).reshape(1, 1)
         X_ref = jnp.asarray(params["X_ref"], f32)
         U_ref = jnp.asarray(params["U_ref"], f32)
         U_last = jnp.asarray(params["U_last"], f32)
         obs = jnp.asarray(params["obstacles"], f32)
         if n_obs == 0:
+            obs_t = jnp.zeros((1, 3), f32)
             obs = jnp.zeros((N, 1, 3) if moving else (1, 3), f32)
         elif moving:
+            obs_t = obs[N]
             obs = obs[:N]
+        else:
+            obs_t = obs
         hp_o = jnp.asarray(
             params["hp_points"]
             - OBSTACLE_EXPAND_DIST * params["hp_normals"], f32)
         hp_n = jnp.asarray(params["hp_normals"], f32)
         hp_m = jnp.asarray(params["hp_mask"], f32).reshape(n_hp, 1)
 
+        def bspec(lead):
+            # per-batch-block input with no stage axis (multipliers)
+            blk = lead + (1, SUB, LANE)
+
+            def imap(b, g):
+                return (0,) * len(lead) + (b, 0, 0)
+
+            return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
+
         in_specs = [
             smem((1, 1)), smem((1, 1)),                      # mu, S
             smem((nx, nx)), smem((nu, nu)), smem((nu, nu)),  # Q, R, W
+            smem((nx, nx)), smem((1, 1)),                    # P, eq_mask
             smem((N + 1, nx)),                               # X_ref
             smem((N, nu)),                                   # U_ref
             smem((N, nu)),                                   # U_last
             (smem((N, max(n_obs, 1), 3)) if moving
              else smem((max(n_obs, 1), 3))),
+            smem((max(n_obs, 1), 3)),                        # obs terminal
             smem((n_hp, 3)), smem((n_hp, 3)), smem((n_hp, 1)),
             vspec((nx,)), vspec((nu,)), vspec((nu,)),        # X, U, kff
             vspec((nu, nx)),                                 # K
             vspec((nc,)),                                    # lam
+            bspec((2 * nx,)),                                # lam_term
+            bspec((2,)),                                     # lam_eq
         ]
         out_specs = [
             pl.BlockSpec((1, n_alpha, nx, 1, SUB, LANE),
@@ -432,12 +517,15 @@ def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret or INTERPRET,
-        )(mu2, S2, Q, R, W, X_ref, U_ref, U_last, obs, hp_o, hp_n, hp_m,
-          tile(X_bm), tile(U_bm), tile(kff_bm), tile(K_bm), tile(lam_bm))
+        )(mu2, S2, Q, R, W, P, eqm, X_ref, U_ref, U_last, obs, obs_t,
+          hp_o, hp_n, hp_m,
+          tile(X_bm), tile(U_bm), tile(kff_bm), tile(K_bm), tile(lam_bm),
+          tile(lamt_bm), tile(lame_bm))
 
         return (Xc.reshape(N, n_alpha, nx, Bsz),
                 Uc.reshape(N, n_alpha, nu, Bsz),
                 xlast.reshape(n_alpha, nx, Bsz),
                 cc.reshape(n_alpha, Bsz))
 
+    fwd.includes_terminal = True
     return fwd

@@ -263,6 +263,11 @@ def build_core(ocp: OCP, params, cfg: SolverConfig, dtype):
 
     eye_u = jnp.eye(nu, dtype=dtype)
 
+    def backward_assoc(derivs, term_g, term_H, reg):
+        """O(log N)-depth parallel-prefix Riccati (long-horizon path)."""
+        from mmmpc_tpu.ops.assoc_riccati import assoc_riccati_backward
+        return assoc_riccati_backward(*derivs, term_g, term_H, reg=reg)
+
     def backward_scan(derivs, term_g, term_H, reg):
         """Pure-JAX Riccati backward sweep (per scenario)."""
 
@@ -312,8 +317,33 @@ def build_core(ocp: OCP, params, cfg: SolverConfig, dtype):
         nx=nx, nu=nu, N=N, nc=nc, nct=nct, ne=ne, ks=ks, dtype=dtype,
         al_stage=al_stage, al_terminal=al_terminal, al_total=al_total,
         stage_derivs=stage_derivs, terminal_derivs=terminal_derivs,
-        fwd_pass=fwd_pass, backward_scan=backward_scan,
+        fwd_pass=fwd_pass,
+        backward_scan=(backward_assoc if cfg.use_assoc_scan
+                       else backward_scan),
         eval_constraints=eval_constraints, violation=violation, mu_at=mu_at)
+
+
+def run_al_rounds(al_round, carry0, cfg: SolverConfig):
+    """Drive the AL outer loop with the (first, middle, final) inner-budget
+    schedule: the first round solves from scratch, middle rounds track the
+    multiplier updates, the last round polishes (its solve quality decides
+    the final violation).  Shared by all solver entry points."""
+    later = (cfg.ilqr_iters_later if cfg.ilqr_iters_later is not None
+             else cfg.ilqr_iters)
+    final = (cfg.ilqr_iters_final if cfg.ilqr_iters_final is not None
+             else later)
+    carry, _ = al_round(carry0, jnp.asarray(0), cfg.ilqr_iters)
+    last = cfg.al_iters - 1
+    if last < 1:
+        return carry
+    n_mid = last - 1 if final != later else last
+    if n_mid > 0:
+        carry, _ = jax.lax.scan(
+            lambda c, i: al_round(c, i, later), carry,
+            jnp.arange(1, 1 + n_mid))
+    if final != later:
+        carry, _ = al_round(carry, jnp.asarray(last), final)
+    return carry
 
 
 def shift_multipliers(lam_stage, lam_term, lam_eq, decay: float = 0.5):
@@ -378,12 +408,15 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
         return (X_new, U_new, cost_new, reg_new), None
 
     def al_round(carry, i, inner_iters):
-        U, lam_stage, lam_term, lam_eq, _ = carry
+        # X corresponds to U applied open-loop from x0 (the accepted line-
+        # search rollout), so re-rolling the dynamics every round is
+        # redundant — only the AL cost must be re-based under the new
+        # (lams, mu).
+        X, U, lam_stage, lam_term, lam_eq, _ = carry
         mu = core.mu_at(i)
         lams = (lam_stage, lam_term, lam_eq)
-        X, Uc = rollout(ocp, x0, U, params)
-        cost0 = core.al_total(X, Uc, lams, mu)
-        init = (X, Uc, cost0, jnp.asarray(cfg.reg_init, dtype))
+        cost0 = core.al_total(X, U, lams, mu)
+        init = (X, U, cost0, jnp.asarray(cfg.reg_init, dtype))
         (X, U_new, _, _), _ = jax.lax.scan(
             lambda c, _: ilqr_iter(c, (lams, mu)), init, None,
             length=inner_iters)
@@ -392,27 +425,18 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
         lam_term = jnp.maximum(0.0, lam_term + mu * ct)
         lam_eq = lam_eq + mu * he
         viol = core.violation(cs, ct, he)
-        return (U_new, lam_stage, lam_term, lam_eq, viol), None
+        return (X, U_new, lam_stage, lam_term, lam_eq, viol), None
 
     if lam0 is None:
         lam0 = (jnp.zeros((N, nc), dtype), jnp.zeros((nct,), dtype),
                 jnp.zeros((ne,), dtype))
-    carry0 = (jnp.asarray(U_init, dtype),
+    X0, Uc0 = rollout(ocp, x0, jnp.asarray(U_init, dtype), params)
+    carry0 = (X0, Uc0,
               jnp.asarray(lam0[0], dtype), jnp.asarray(lam0[1], dtype),
               jnp.asarray(lam0[2], dtype), jnp.asarray(jnp.inf, dtype))
-    # first AL round carries the heavy lifting; later rounds only track
-    # multiplier updates with a shorter inner budget
-    later_iters = (cfg.ilqr_iters_later if cfg.ilqr_iters_later is not None
-                   else cfg.ilqr_iters)
-    carry0, _ = al_round(carry0, jnp.asarray(0), cfg.ilqr_iters)
-    if cfg.al_iters > 1:
-        (U_fin, lam_stage, lam_term, lam_eq, viol), _ = jax.lax.scan(
-            lambda c, i: al_round(c, i, later_iters), carry0,
-            jnp.arange(1, cfg.al_iters))
-    else:
-        U_fin, lam_stage, lam_term, lam_eq, viol = carry0
+    X_fin, U_fin, lam_stage, lam_term, lam_eq, viol = run_al_rounds(
+        al_round, carry0, cfg)
 
-    X_fin, U_fin = rollout(ocp, x0, U_fin, params)
     cost = _objective(ocp, X_fin, U_fin, params)
     return SolveResult(
         X=X_fin, U=U_fin, cost=cost, max_violation=viol,

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from mmmpc_tpu.ocp.spec import OCP
 from mmmpc_tpu.solver.al_ilqr import (
     SolveResult, _objective, al_ilqr_solve, build_core, rollout,
+    run_al_rounds,
 )
 from mmmpc_tpu.utils.configs import SolverConfig
 from mmmpc_tpu.ops.riccati import (
@@ -105,12 +106,13 @@ def al_ilqr_solve_batched(ocp: OCP, x0_b, U0_b, params,
         return (X_new, U_new, cost_new, reg_new), None
 
     def al_round(carry, i, inner_iters):
-        U, lam_stage, lam_term, lam_eq, _ = carry
+        # X already corresponds to U applied open-loop from x0 — only the
+        # AL cost is re-based under the new (lams, mu); no re-rollout.
+        X, U, lam_stage, lam_term, lam_eq, _ = carry
         mu = core.mu_at(i)
         lams = (lam_stage, lam_term, lam_eq)
-        X, Uc = rollout_b(x0_b, U)
-        cost0 = al_total_b(X, Uc, lams, mu)
-        init = (X, Uc, cost0, jnp.full((B,), cfg.reg_init, dtype))
+        cost0 = al_total_b(X, U, lams, mu)
+        init = (X, U, cost0, jnp.full((B,), cfg.reg_init, dtype))
         (X, U_new, _, _), _ = jax.lax.scan(
             lambda c, _: ilqr_iter(c, (lams, mu)), init, None,
             length=inner_iters)
@@ -119,26 +121,19 @@ def al_ilqr_solve_batched(ocp: OCP, x0_b, U0_b, params,
         lam_term = jnp.maximum(0.0, lam_term + mu * ct)
         lam_eq = lam_eq + mu * he
         viol = viol_b(cs, ct, he)
-        return (U_new, lam_stage, lam_term, lam_eq, viol), None
+        return (X, U_new, lam_stage, lam_term, lam_eq, viol), None
 
     if lam0_b is None:
         lam0_b = (jnp.zeros((B, N, nc), dtype), jnp.zeros((B, nct), dtype),
                   jnp.zeros((B, ne), dtype))
-    carry0 = (jnp.asarray(U0_b, dtype),
+    X0_b, Uc0_b = rollout_b(x0_b, jnp.asarray(U0_b, dtype))
+    carry0 = (X0_b, Uc0_b,
               jnp.asarray(lam0_b[0], dtype), jnp.asarray(lam0_b[1], dtype),
               jnp.asarray(lam0_b[2], dtype),
               jnp.full((B,), jnp.inf, dtype))
-    later_iters = (cfg.ilqr_iters_later if cfg.ilqr_iters_later is not None
-                   else cfg.ilqr_iters)
-    carry0, _ = al_round(carry0, jnp.asarray(0), cfg.ilqr_iters)
-    if cfg.al_iters > 1:
-        (U_fin, lam_stage, lam_term, lam_eq, viol), _ = jax.lax.scan(
-            lambda c, i: al_round(c, i, later_iters), carry0,
-            jnp.arange(1, cfg.al_iters))
-    else:
-        U_fin, lam_stage, lam_term, lam_eq, viol = carry0
+    X_fin, U_fin, lam_stage, lam_term, lam_eq, viol = run_al_rounds(
+        al_round, carry0, cfg)
 
-    X_fin, U_fin = rollout_b(x0_b, U_fin)
     cost = jax.vmap(lambda X, U: _objective(ocp, X, U, params))(X_fin, U_fin)
     return SolveResult(
         X=X_fin, U=U_fin, cost=cost, max_violation=viol,
@@ -154,6 +149,7 @@ def _solve_batched_lanes(ocp: OCP, x0_b, U0_b, params,
     core = build_core(ocp, params, cfg, dtype)
     N, nc, nct, ne = core.N, core.nc, core.nct, core.ne
     fwd_ls = ocp.lanes_fwd_factory(cfg)
+    fwd_has_terminal = getattr(fwd_ls, "includes_terminal", False)
     alphas_idx = jnp.arange(cfg.n_alpha)
 
     # ---- batch-minor vmapped building blocks --------------------------
@@ -193,8 +189,14 @@ def _solve_batched_lanes(ocp: OCP, x0_b, U0_b, params,
         kffs = kffs.astype(dtype)
         Ks = Ks.astype(dtype)
 
-        Xc, Uc, xlast, cc = fwd_ls(X[:-1], U, kffs, Ks, lams[0], mu, params)
-        cc = cc + al_term_bm(xlast, lams[1], lams[2], mu)   # (n_alpha, B)
+        if fwd_has_terminal:
+            # the kernel already added the terminal AL cost on its last stage
+            Xc, Uc, xlast, cc = fwd_ls(X[:-1], U, kffs, Ks,
+                                       lams[0], lams[1], lams[2], mu, params)
+        else:
+            Xc, Uc, xlast, cc = fwd_ls(X[:-1], U, kffs, Ks, lams[0], mu,
+                                       params)
+            cc = cc + al_term_bm(xlast, lams[1], lams[2], mu)  # (n_alpha, B)
 
         best = jnp.argmin(cc, axis=0)                        # (B,)
         onehot = (alphas_idx[:, None] == best[None, :]).astype(dtype)
@@ -217,12 +219,13 @@ def _solve_batched_lanes(ocp: OCP, x0_b, U0_b, params,
     U0_bm = jnp.transpose(jnp.asarray(U0_b, dtype), (1, 2, 0))
 
     def al_round(carry, i, inner_iters):
-        U, lam_stage, lam_term, lam_eq, _ = carry
+        # X already corresponds to U applied open-loop from x0 — only the
+        # AL cost is re-based under the new (lams, mu); no re-rollout.
+        X, U, lam_stage, lam_term, lam_eq, _ = carry
         mu = core.mu_at(i)
         lams = (lam_stage, lam_term, lam_eq)
-        X, Uc = rollout_bm(x0_bm, U)
-        cost0 = al_total_bm(X, Uc, lams, mu)
-        init = (X, Uc, cost0, jnp.full((B,), cfg.reg_init, dtype))
+        cost0 = al_total_bm(X, U, lams, mu)
+        init = (X, U, cost0, jnp.full((B,), cfg.reg_init, dtype))
         (X, U_new, _, _), _ = jax.lax.scan(
             lambda c, _: ilqr_iter(c, (lams, mu)), init, None,
             length=inner_iters)
@@ -231,7 +234,7 @@ def _solve_batched_lanes(ocp: OCP, x0_b, U0_b, params,
         lam_term = jnp.maximum(0.0, lam_term + mu * ct)
         lam_eq = lam_eq + mu * he
         viol = viol_bm(cs, ct, he)
-        return (U_new, lam_stage, lam_term, lam_eq, viol), None
+        return (X, U_new, lam_stage, lam_term, lam_eq, viol), None
 
     if lam0_b is None:
         lam0_bm = (jnp.zeros((N, nc, B), dtype),
@@ -241,19 +244,12 @@ def _solve_batched_lanes(ocp: OCP, x0_b, U0_b, params,
         lam0_bm = (jnp.transpose(jnp.asarray(lam0_b[0], dtype), (1, 2, 0)),
                    jnp.asarray(lam0_b[1], dtype).T,
                    jnp.asarray(lam0_b[2], dtype).T)
-    carry0 = (U0_bm, *lam0_bm,
+    X0_bm, Uc0_bm = rollout_bm(x0_bm, U0_bm)
+    carry0 = (X0_bm, Uc0_bm, *lam0_bm,
               jnp.full((B,), jnp.inf, dtype))
-    later_iters = (cfg.ilqr_iters_later if cfg.ilqr_iters_later is not None
-                   else cfg.ilqr_iters)
-    carry0, _ = al_round(carry0, jnp.asarray(0), cfg.ilqr_iters)
-    if cfg.al_iters > 1:
-        (U_fin, lam_stage, lam_term, lam_eq, viol), _ = jax.lax.scan(
-            lambda c, i: al_round(c, i, later_iters), carry0,
-            jnp.arange(1, cfg.al_iters))
-    else:
-        U_fin, lam_stage, lam_term, lam_eq, viol = carry0
+    X_fin, U_fin, lam_stage, lam_term, lam_eq, viol = run_al_rounds(
+        al_round, carry0, cfg)
 
-    X_fin, U_fin = rollout_bm(x0_bm, U_fin)
     cost = jax.vmap(lambda X, U: _objective(ocp, X, U, params),
                     in_axes=(-1, -1))(X_fin, U_fin)
     # back to the batch-major result contract

@@ -46,6 +46,11 @@ class SolverConfig:
     # from scratch; subsequent rounds only track the multiplier updates, so
     # a handful of sweeps suffices.  None => same as ilqr_iters.
     ilqr_iters_later: int | None = None
+    # Inner sweeps in the LAST AL round.  The final violation is decided by
+    # how well the last subproblem is solved, so a polish budget there buys
+    # the convergence tail more cheaply than widening every middle round.
+    # None => same as ilqr_iters_later.
+    ilqr_iters_final: int | None = None
     mu_init: float = 10.0      # initial AL penalty
     mu_scale: float = 5.0      # penalty growth per AL round
     mu_max: float = 1e6
@@ -82,6 +87,13 @@ class SolverConfig:
     # mode to exercise the exact multi-chip shard_map x Pallas configuration
     # on the virtual device mesh without TPU hardware).
     force_kernel: bool = False
+    # Evaluate the Riccati backward sweep with the associative-scan
+    # (parallel-prefix) formulation — O(log N) sequential depth instead of
+    # O(N).  The long-horizon path: pays off when N is in the hundreds and
+    # the batch is small (scripts/bench_longhorizon.py for the crossover);
+    # at N<=20 / batch>=1024 the lanes kernels win.  Applies to the scan
+    # (non-lanes) solver paths.
+    use_assoc_scan: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

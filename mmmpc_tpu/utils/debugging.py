@@ -49,3 +49,59 @@ def describe_result(result):
                 f"converged={bool(conv)}")
     return (f"batch={cost.shape[0]} mean_cost={cost.mean():.4f} "
             f"max_viol={viol.max():.2e} converged={conv.mean()*100:.1f}%")
+
+
+def worst_scenario_report(ocp, result, params, top_k: int = 1):
+    """Batched failure forensics: extract the argmax-violation scenario(s)
+    from a batched SolveResult and break their violation down per constraint
+    group — the batched analogue of the reference's failure dump
+    (/root/reference/controllers/mpc_wholebody_qref.py:318-326, which prints
+    full X/U/s and per-state obstacle margins when one IPOPT solve fails).
+
+    Returns the report string (also suitable for logging).  Host-side; pass
+    the params dict the batch was solved with.
+    """
+    import numpy as np
+
+    viol = np.asarray(result.max_violation)
+    if viol.ndim == 0:
+        raise ValueError("worst_scenario_report expects a batched result")
+    order = np.argsort(-viol)[:top_k]
+    lines = [describe_result(result)]
+    ks = jnp.arange(ocp.N)
+    for b in order:
+        X = jnp.asarray(np.asarray(result.X[b]))
+        U = jnp.asarray(np.asarray(result.U[b]))
+        cs = jax.vmap(lambda x, u, k: ocp.stage_ineq(x, u, k, params))(
+            X[:-1], U, ks)
+        ct = ocp.terminal_ineq(X[-1], params)
+        he = ocp.terminal_eq(X[-1], params)
+        lines.append(
+            f"-- scenario {int(b)}: viol={viol[b]:.3e} "
+            f"cost={float(np.asarray(result.cost[b])):.4f} "
+            f"converged={bool(np.asarray(result.converged[b]))}")
+        cs_np = np.asarray(cs)
+        if cs_np.size:
+            stage_idx, row_idx = np.unravel_index(
+                np.argmax(cs_np), cs_np.shape)
+            lines.append(
+                f"   stage ineq: worst row {int(row_idx)} at stage "
+                f"{int(stage_idx)} -> {cs_np.max():.3e} "
+                f"(rows>0: {(cs_np > 0).sum()} of {cs_np.size})")
+            # per-row maxima over the horizon, only the violated rows
+            row_max = cs_np.max(axis=0)
+            bad = np.flatnonzero(row_max > 0)
+            for r in bad[:10]:
+                lines.append(f"     row {int(r)}: max over horizon "
+                             f"{row_max[r]:.3e}")
+        ct_np = np.asarray(ct)
+        if ct_np.size:
+            lines.append(f"   terminal ineq: max {ct_np.max():.3e} "
+                         f"(rows>0: {(ct_np > 0).sum()} of {ct_np.size})")
+        he_np = np.asarray(he)
+        if he_np.size:
+            lines.append(f"   terminal eq: max |h| "
+                         f"{np.abs(he_np).max():.3e}")
+        lines.append(f"   x0={np.asarray(result.X[b, 0]).round(4)}")
+        lines.append(f"   u0={np.asarray(result.U[b, 0]).round(4)}")
+    return "\n".join(lines)

@@ -71,3 +71,29 @@ def test_metrics_dump(tmp_path):
     assert len(records) == 3
     assert {"step", "task_flag", "cost", "max_violation", "converged",
             "solve_latency_s"} <= set(records[0])
+
+
+def test_worst_scenario_report():
+    """Forensics helper surfaces the argmax-violation scenario with a
+    per-constraint-group breakdown (reference failure dump analogue)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmmpc_tpu.solver.batched import al_ilqr_solve_batched
+    from mmmpc_tpu.utils.configs import SolverConfig
+    from mmmpc_tpu.utils.debugging import worst_scenario_report
+    from tests.test_solver import make_demo_ocp
+
+    N = 10
+    ocp = make_demo_ocp(N=N)
+    params = {"X_ref": jnp.tile(jnp.array([3.0, 0.0]), (N + 1, 1)),
+              "U_ref": jnp.zeros((N, 1))}
+    # starve the solver so some scenarios stay infeasible w.r.t. the v-limit
+    cfg = SolverConfig(al_iters=1, ilqr_iters=2)
+    x0_b = jnp.stack([jnp.array([0.0, 0.0]), jnp.array([-3.0, 0.0])])
+    res = al_ilqr_solve_batched(ocp, x0_b, jnp.zeros((2, N, 1)), params, cfg)
+    rep = worst_scenario_report(ocp, res, params, top_k=2)
+    assert "scenario" in rep and "stage ineq" in rep
+    # the worst scenario leads the report
+    worst = int(np.argmax(np.asarray(res.max_violation)))
+    assert f"-- scenario {worst}:" in rep.splitlines()[1]

@@ -77,17 +77,14 @@ def test_fwd_kernel_matches_fwd_pass(problem, monkeypatch):
                         (lam, lam_t, lam_e), mu))(alphas)
     # Xr: (n_alpha, B, N+1, nx); cr: (n_alpha, B) including terminal AL cost
 
-    # kernel: batch-minor
+    # kernel: batch-minor; the terminal AL cost is fused in-kernel
     fwd_ls = ocp.lanes_fwd_factory(cfg)
+    assert getattr(fwd_ls, "includes_terminal", False)
     bm = lambda a, perm: jnp.transpose(a, perm)
-    Xc, Uc, xlast, cc = fwd_ls(
+    Xc, Uc, xlast, cc_tot = fwd_ls(
         bm(X_b[:, :-1], (1, 2, 0)), bm(Uc_b, (1, 2, 0)),
         bm(kffs, (1, 2, 0)), bm(Ks, (1, 2, 3, 0)),
-        bm(lam, (1, 2, 0)), mu, params)
-    al_term_bm = jax.vmap(
-        jax.vmap(core.al_terminal, in_axes=(-1, -1, -1, None)),
-        in_axes=(0, None, None, None))
-    cc_tot = cc + al_term_bm(xlast, lam_t.T, lam_e.T, mu)
+        bm(lam, (1, 2, 0)), lam_t.T, lam_e.T, mu, params)
 
     # Xc: (N, n_alpha, nx, B) -> (n_alpha, B, N, nx)
     Xk = np.transpose(np.asarray(Xc), (1, 3, 0, 2))
