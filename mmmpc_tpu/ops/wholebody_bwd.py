@@ -292,7 +292,7 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
             hpm_ref, X_in, U_in, lam_in, xterm_in, lamt_in, lame_in,
             reg_in, kff_out, K_out, Vx_s, Vxx_s, *,
             nx, nu, N, dt, inv_scale, base_radius, n_obs, n_hp,
-            bug_compat, moving, x_bounds, du_bounds):
+            bug_compat, moving, x_bounds, du_bounds, ps_ulast):
     g = pl.program_id(1)
     k = N - 1 - g            # stage index (backward)
     mu = mu_ref[0, 0]
@@ -436,7 +436,13 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
 
     ex = [xk[i] - xref_ref[k, i] for i in range(nx)]
     eu = [uk[i] - uref_ref[k, i] for i in range(nu)]
-    edu = [uk[i] - ulast_ref[k, i] for i in range(nu)]
+    # per-scenario U_last arrives as a VMEM tile block indexed by this
+    # stage's grid step; shared U_last as SMEM scalars
+    if ps_ulast:
+        ul_arr = ulast_ref[0][..., 0, :, :]
+        edu = [uk[i] - ul_arr[i] for i in range(nu)]
+    else:
+        edu = [uk[i] - ulast_ref[k, i] for i in range(nu)]
 
     Ssm = S * smax
     lx = []
@@ -592,11 +598,12 @@ def make_bwd_fused(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
     du_bounds = tuple(tuple(float(v) if i < 2 else bool(v) for v in b)
                       for i, b in enumerate(du_bounds))
 
-    kernel = functools.partial(
-        _kernel, nx=nx, nu=nu, N=N, dt=float(dt),
-        inv_scale=float(inv_scale), base_radius=float(base_radius),
-        n_obs=n_obs, n_hp=n_hp, bug_compat=bug_compat, moving=moving,
-        x_bounds=x_bounds, du_bounds=du_bounds)
+    def build_kernel(ps_ulast):
+        return functools.partial(
+            _kernel, nx=nx, nu=nu, N=N, dt=float(dt),
+            inv_scale=float(inv_scale), base_radius=float(base_radius),
+            n_obs=n_obs, n_hp=n_hp, bug_compat=bug_compat, moving=moving,
+            x_bounds=x_bounds, du_bounds=du_bounds, ps_ulast=ps_ulast)
 
     def smem(shape):
         return pl.BlockSpec(shape, lambda b, g: (0,) * len(shape),
@@ -637,6 +644,7 @@ def make_bwd_fused(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
         X_ref = jnp.asarray(params["X_ref"], f32)
         U_ref = jnp.asarray(params["U_ref"], f32)
         U_last = jnp.asarray(params["U_last"], f32)
+        ps_ulast = U_last.ndim == 3          # (N, nu, B) batch-minor
         obs = jnp.asarray(params["obstacles"], f32)
         if n_obs == 0:
             obs = jnp.zeros((N + 1, 1, 3) if moving else (1, 3), f32)
@@ -651,7 +659,8 @@ def make_bwd_fused(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
             smem((1, 1)), smem((1, 1)),                       # mu, S
             smem((nx, nx)), smem((nu, nu)), smem((nu, nu)),   # Q, R, W
             smem((nx, nx)), smem((1, 1)),                     # P, eq_mask
-            smem((N + 1, nx)), smem((N, nu)), smem((N, nu)),
+            smem((N + 1, nx)), smem((N, nu)),
+            (vspec((nu,)) if ps_ulast else smem((N, nu))),
             (smem((N + 1, max(n_obs, 1), 3)) if moving
              else smem((max(n_obs, 1), 3))),
             smem((n_hp, 3)), smem((n_hp, 3)), smem((n_hp, 1)),
@@ -666,7 +675,7 @@ def make_bwd_fused(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
         ]
 
         kff_t, K_t = pl.pallas_call(
-            kernel,
+            build_kernel(ps_ulast),
             grid=(nb, N),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -678,7 +687,8 @@ def make_bwd_fused(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret or INTERPRET,
-        )(mu2, S2, Q, R, W, P, eqm, X_ref, U_ref, U_last, obs,
+        )(mu2, S2, Q, R, W, P, eqm, X_ref, U_ref,
+          tile(U_last) if ps_ulast else U_last, obs,
           hp_o, hp_n, hp_m, tile(X_bm[:-1]), tile(U_bm), tile(lam_bm),
           tile(X_bm[-1]), tile(lamt_bm), tile(lame_bm), tile(reg_b))
 

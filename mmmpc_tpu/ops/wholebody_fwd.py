@@ -154,7 +154,8 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
             Xc_out, Uc_out, xlast_out, cc_out,
             x_s, fk_s, cost_s, *,
             nx, nu, N, n_alpha, alphas, dt, inv_scale, base_radius,
-            n_obs, n_hp, bug_compat, moving, x_bounds, du_bounds, u_clamp):
+            n_obs, n_hp, bug_compat, moving, x_bounds, du_bounds, u_clamp,
+            ps_ulast):
     g = pl.program_id(1)
     mu = mu_ref[0, 0]
     S = S_ref[0, 0]
@@ -168,6 +169,10 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
     kffk = ld(kff_in, nu)
     Kk = K_in[0][..., 0, :, :]          # (nu, nx, SUB, LANE)
     lam = ld(lam_in, 2 * nx + 2 * nu)
+    # per-scenario U_last (fleet serving: each robot's previous command
+    # sequence) arrives as a VMEM tile block; shared U_last as SMEM scalars
+    ul = ld(ulast_ref, nu) if ps_ulast else \
+        [ulast_ref[g, i] for i in range(nu)]
 
     x_lo, x_hi, x_mlo, x_mhi = x_bounds
     du_lo, du_hi, du_mlo, du_mhi = du_bounds
@@ -256,7 +261,7 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
         # -- quadratic tracking costs ------------------------------------
         ex = [x[i] - xref_ref[g, i] for i in range(nx)]
         eu = [u[i] - uref_ref[g, i] for i in range(nu)]
-        edu = [u[i] - ulast_ref[g, i] for i in range(nu)]
+        edu = [u[i] - ul[i] for i in range(nu)]
         track = (_qform(Q_ref, ex, nx) + _qform(R_ref, eu, nu)
                  + _qform(W_ref, edu, nu))
 
@@ -397,12 +402,14 @@ def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
     u_clamp = tuple(tuple(float(v) for v in b) for b in u_clamp)
     alphas = tuple(float(a) for a in alphas)
 
-    kernel = functools.partial(
-        _kernel, nx=nx, nu=nu, N=N, n_alpha=n_alpha, alphas=alphas,
-        dt=float(dt), inv_scale=float(inv_scale),
-        base_radius=float(base_radius), n_obs=n_obs, n_hp=n_hp,
-        bug_compat=bug_compat, moving=moving,
-        x_bounds=x_bounds, du_bounds=du_bounds, u_clamp=u_clamp)
+    def build_kernel(ps_ulast):
+        return functools.partial(
+            _kernel, nx=nx, nu=nu, N=N, n_alpha=n_alpha, alphas=alphas,
+            dt=float(dt), inv_scale=float(inv_scale),
+            base_radius=float(base_radius), n_obs=n_obs, n_hp=n_hp,
+            bug_compat=bug_compat, moving=moving,
+            x_bounds=x_bounds, du_bounds=du_bounds, u_clamp=u_clamp,
+            ps_ulast=ps_ulast)
 
     def smem(shape):
         # whole-array SMEM blocks (TPU lowering requires block == array for
@@ -445,6 +452,7 @@ def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
         X_ref = jnp.asarray(params["X_ref"], f32)
         U_ref = jnp.asarray(params["U_ref"], f32)
         U_last = jnp.asarray(params["U_last"], f32)
+        ps_ulast = U_last.ndim == 3          # (N, nu, B) batch-minor
         obs = jnp.asarray(params["obstacles"], f32)
         if n_obs == 0:
             obs_t = jnp.zeros((1, 3), f32)
@@ -475,7 +483,7 @@ def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
             smem((nx, nx)), smem((1, 1)),                    # P, eq_mask
             smem((N + 1, nx)),                               # X_ref
             smem((N, nu)),                                   # U_ref
-            smem((N, nu)),                                   # U_last
+            (vspec((nu,)) if ps_ulast else smem((N, nu))),   # U_last
             (smem((N, max(n_obs, 1), 3)) if moving
              else smem((max(n_obs, 1), 3))),
             smem((max(n_obs, 1), 3)),                        # obs terminal
@@ -504,7 +512,7 @@ def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
         ]
 
         Xc, Uc, xlast, cc = pl.pallas_call(
-            kernel,
+            build_kernel(ps_ulast),
             grid=(nb, N),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -517,7 +525,8 @@ def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret or INTERPRET,
-        )(mu2, S2, Q, R, W, P, eqm, X_ref, U_ref, U_last, obs, obs_t,
+        )(mu2, S2, Q, R, W, P, eqm, X_ref, U_ref,
+          tile(U_last) if ps_ulast else U_last, obs, obs_t,
           hp_o, hp_n, hp_m,
           tile(X_bm), tile(U_bm), tile(kff_bm), tile(K_bm), tile(lam_bm),
           tile(lamt_bm), tile(lame_bm))

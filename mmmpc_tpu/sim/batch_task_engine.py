@@ -1,0 +1,220 @@
+"""Batched on-device task FSM — thousands of full move->press-button tasks
+in one compiled loop.
+
+The reference runs its task state machine on the host, one scenario per
+process (interface_wholebody_qref.py:146-228): move -> approach (inject the
+terminal position equality) -> rotate (weight switch) -> move finish (IK +
+joint-space plan + weight switch) -> manipulate -> manipulate finish.
+sim/batch_engine.py batches single-phase windows; THIS engine runs the whole
+task per scenario on device:
+
+- the phase lives as per-scenario integer data; every phase-dependent
+  quantity (weights, terminal-equality mask, local reference construction)
+  is a select over that integer — one compiled program, no recompilation at
+  phase switches (the same design that maps the reference's opti.parameter
+  mechanism onto jit arguments);
+- the IK at the move->manipulate boundary is the batched projected-LM solve
+  (models/arm.py::arm_ik, replacing the reference's per-call IPOPT nlpsol)
+  evaluated inside the tick and consumed only on the transition tick;
+- solver warm starts (primal U and AL duals) carry across ticks per scenario.
+
+Phases: 0 move, 1 approach, 2 rotate, 3 manipulate, 4 done.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmmpc_tpu.models.arm import arm_ik
+from mmmpc_tpu.models.mobile_manipulator import wholebody_fk
+from mmmpc_tpu.solver import al_ilqr_solve, shift_multipliers
+from mmmpc_tpu.utils.configs import (
+    BASELINK2JOINT1_X, BASELINK2JOINT1_Z, SolverConfig, WORKING_RADIUS,
+)
+from mmmpc_tpu.utils.math import angle_diff
+
+PHASE_MOVE, PHASE_APPROACH, PHASE_ROTATE, PHASE_MANIP, PHASE_DONE = range(5)
+
+# weight schedule (reference interface:175-185, 204-216): index 0 for
+# move/approach, 1 for rotate, 2 for manipulate
+_W_TABLE = np.stack([
+    5.0 * np.diag([5, 5, 0, 0, 0, 1, 1, 1, 1.0]),
+    np.diag([5, 5, 5, 0, 0, 1, 1, 1, 1.0]),
+    np.diag([500, 500, 500, 0, 0, 1, 1, 1, 1.0]),
+])
+
+
+class TaskRolloutLog(NamedTuple):
+    X: jnp.ndarray          # (B, T+1, nx)
+    U: jnp.ndarray          # (B, T, nu)
+    phase: jnp.ndarray      # (B, T) int32 phase AFTER each tick
+    cost: jnp.ndarray       # (B, T)
+    violation: jnp.ndarray  # (B, T)
+    done_at: jnp.ndarray    # (B,) tick index of task completion (T if never)
+
+
+def stand_off_target(x_start, global_pose_target):
+    """Per-scenario base target in front of the button (interface:24-32)."""
+    gx, gy, _, gpsi = (global_pose_target[..., 0], global_pose_target[..., 1],
+                       global_pose_target[..., 2], global_pose_target[..., 3])
+    zeros = jnp.zeros_like(gx)
+    return jnp.stack([
+        gx - WORKING_RADIUS * jnp.cos(gpsi),
+        gy - WORKING_RADIUS * jnp.sin(gpsi),
+        gpsi, zeros, zeros, zeros,
+        x_start[..., 6], x_start[..., 7], x_start[..., 8],
+    ], axis=-1)
+
+
+def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
+                         t_move: float, t_manipulate: float, dt: float,
+                         n_ticks: int, ik_iters: int = 60):
+    """Build run(x_start_b, global_pose_target_b) -> TaskRolloutLog.
+
+    ocp: the whole-body qref OCP (MPCWholeBody(...).ocp); shared_params: the
+    controller's make_params(...) minus X_ref / U_ref / U_last / Q / P /
+    eq_mask, which the FSM owns per scenario per tick.
+    """
+    N = ocp.N
+    nx, nu = ocp.nx, ocp.nu
+    T_move = int(round(t_move / dt))
+    T_man = int(round(t_manipulate / dt))
+    Wtab = jnp.asarray(_W_TABLE)
+    ks_traj = jnp.arange(N + 1)
+    ks_u = jnp.arange(N)
+
+    def window(traj, x, idx_cols):
+        d = traj[:, idx_cols] - x[idx_cols]
+        mi = jnp.argmin(jnp.sum(d * d, axis=1))
+        rows = jnp.minimum(mi + ks_traj, traj.shape[0] - 1)
+        return traj[rows]
+
+    def per_scenario(x, U_warm, lams, phase, traj_move, traj_man, gpt,
+                     x_target):
+        # ---- transitions (host-FSM order, interface:152-213) ----------
+        in_move = phase == PHASE_MOVE
+        in_appr = phase == PHASE_APPROACH
+        in_rot = phase == PHASE_ROTATE
+        in_man = phase == PHASE_MANIP
+        near2 = ((jnp.abs(x[0] - x_target[0]) <= 2.0)
+                 & (jnp.abs(x[1] - x_target[1]) <= 2.0))
+        pos_err = jnp.sqrt((x[0] - x_target[0]) ** 2
+                           + (x[1] - x_target[1]) ** 2)
+        phase = jnp.where(in_move & near2, PHASE_APPROACH, phase)
+        phase = jnp.where((in_move | in_appr) & (pos_err <= 0.2),
+                          PHASE_ROTATE, phase)
+        yaw_ok = (jnp.abs(angle_diff(x[2], x_target[2]))
+                  <= 0.5 * jnp.pi / 180.0)
+        to_manip = in_rot & yaw_ok & (pos_err <= 0.01)
+        phase = jnp.where(to_manip, PHASE_MANIP, phase)
+
+        # move finish: IK to the button-relative pose, joint-space linspace
+        # (interface:188-216); consumed only on the transition tick
+        local_target = jnp.stack([
+            jnp.sqrt((gpt[0] - x[0]) ** 2 + (gpt[1] - x[1]) ** 2)
+            - BASELINK2JOINT1_X,
+            jnp.zeros_like(x[0]),
+            gpt[2] - BASELINK2JOINT1_Z,
+        ])
+        q_goal = arm_ik(x[6:9], local_target, iters=ik_iters)
+        x_goal = jnp.concatenate([x[:6], q_goal])
+        traj_new = (x[None, :]
+                    + (x_goal - x)[None, :]
+                    * jnp.linspace(0.0, 1.0, T_man + 1)[:, None])
+        traj_man = jnp.where(to_manip, traj_new, traj_man)
+
+        ee = wholebody_fk(x)[0][:3]
+        done = in_man & (jnp.linalg.norm(ee - gpt[:3]) <= 0.01)
+        phase = jnp.where(done, PHASE_DONE, phase)
+
+        # ---- phase-dependent references -------------------------------
+        ref_move = window(traj_move, x, jnp.array([0, 1]))
+        # pose tile with continuous yaw (runtime/reference.local_ref_pose)
+        pose = x_target.at[2].set(x[2] + angle_diff(x_target[2], x[2]))
+        ref_pose = jnp.tile(pose, (N + 1, 1))
+        ref_man = window(traj_man, x, jnp.array([6, 7, 8]))
+        X_ref = jnp.where(phase[None, None] == PHASE_MOVE, ref_move,
+                          jnp.where(phase[None, None] >= PHASE_MANIP,
+                                    ref_man, ref_pose))
+        U_ref = jnp.zeros((N, nu), x.dtype)
+
+        widx = jnp.where(phase >= PHASE_MANIP, 2,
+                         jnp.where(phase == PHASE_ROTATE, 1, 0))
+        QP = Wtab[widx]
+        eq_mask = (phase >= PHASE_APPROACH).astype(x.dtype)
+
+        params = dict(shared_params, X_ref=X_ref, U_ref=U_ref,
+                      U_last=U_warm, Q=QP, P=QP, eq_mask=eq_mask)
+        res = al_ilqr_solve(ocp, x, U_warm, params, cfg, lam0=lams)
+
+        ok = jnp.all(jnp.isfinite(res.U)) & (res.max_violation < 1.0)
+        u_shift = jnp.concatenate([U_warm[1:], U_warm[-1:]], axis=0)
+        U_applied = jnp.where(ok, res.U, u_shift)
+        lam_new = shift_multipliers(res.lam_stage, res.lam_term, res.lam_eq)
+        lams = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                            lam_new, lams)
+        # a finished scenario holds its state (the reference ends its run)
+        is_done = phase == PHASE_DONE
+        u0 = jnp.where(is_done, 0.0, U_applied[0])
+        x_next = jnp.where(is_done, x, ocp.dynamics(x, U_applied[0]))
+        return (x_next, U_applied, lams, phase, traj_man, u0,
+                res.cost, res.max_violation)
+
+    def run(x_start_b, global_pose_target_b):
+        B = x_start_b.shape[0]
+        dtype = x_start_b.dtype
+        x_target_b = stand_off_target(x_start_b, global_pose_target_b)
+        steps = jnp.linspace(0.0, 1.0, T_move + 1)[:, None]
+        traj_move_b = (x_start_b[:, None, :]
+                       + (x_target_b - x_start_b)[:, None, :] * steps[None])
+
+        zx = jnp.zeros(nx, dtype)
+        zu = jnp.zeros(nu, dtype)
+        probe = dict(shared_params,
+                     X_ref=jnp.zeros((N + 1, nx), dtype),
+                     U_ref=jnp.zeros((N, nu), dtype),
+                     U_last=jnp.zeros((N, nu), dtype),
+                     Q=jnp.zeros((nx, nx), dtype),
+                     P=jnp.zeros((nx, nx), dtype),
+                     eq_mask=jnp.zeros((), dtype))
+        nc = jax.eval_shape(ocp.stage_ineq, zx, zu, 0, probe).shape[0]
+        nct = jax.eval_shape(ocp.terminal_ineq, zx, probe).shape[0]
+        ne = jax.eval_shape(ocp.terminal_eq, zx, probe).shape[0]
+
+        carry0 = (
+            x_start_b,
+            jnp.zeros((B, N, nu), dtype),
+            (jnp.zeros((B, N, nc), dtype), jnp.zeros((B, nct), dtype),
+             jnp.zeros((B, ne), dtype)),
+            jnp.full((B,), PHASE_MOVE, jnp.int32),
+            jnp.tile(x_start_b[:, None, :], (1, T_man + 1, 1)),
+        )
+
+        def tick(carry, _):
+            x_b, U_b, lam_b, phase_b, man_b = carry
+            (x_n, U_n, lam_n, phase_n, man_n, u0, cost, viol) = jax.vmap(
+                per_scenario, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
+                    x_b, U_b, lam_b, phase_b, traj_move_b, man_b,
+                    global_pose_target_b, x_target_b)
+            return ((x_n, U_n, lam_n, phase_n, man_n),
+                    (x_n, u0, phase_n, cost, viol))
+
+        _, (Xs, Us, phases, costs, viols) = jax.lax.scan(
+            tick, carry0, None, length=n_ticks)
+        X = jnp.concatenate([x_start_b[:, None],
+                             jnp.moveaxis(Xs, 0, 1)], axis=1)
+        phase_t = jnp.moveaxis(phases, 0, 1)             # (B, T)
+        done_mask = phase_t == PHASE_DONE
+        done_at = jnp.where(jnp.any(done_mask, axis=1),
+                            jnp.argmax(done_mask, axis=1),
+                            n_ticks)
+        return TaskRolloutLog(
+            X=X, U=jnp.moveaxis(Us, 0, 1), phase=phase_t,
+            cost=jnp.moveaxis(costs, 0, 1),
+            violation=jnp.moveaxis(viols, 0, 1), done_at=done_at)
+
+    return run

@@ -24,9 +24,27 @@ import jax.numpy as jnp
 
 from mmmpc_tpu.ocp.spec import OCP
 from mmmpc_tpu.solver.al_ilqr import (
-    SolveResult, _objective, al_ilqr_solve, build_core, rollout,
-    run_al_rounds,
+    SolveResult, _al_penalty_eq, _al_penalty_ineq, _objective,
+    al_ilqr_solve, build_core, rollout, run_al_rounds,
 )
+
+
+def _params_axes(params, batched_keys):
+    """vmap in_axes tree over a params dict: -1 for per-scenario entries
+    (trailing batch axis, batch-minor), None for shared ones."""
+    return {k: (-1 if k in batched_keys else None) for k in params}
+
+
+def _per_scenario_keys(params):
+    """Params entries carrying a per-scenario trailing batch axis.
+
+    Convention (fleet serving): ``U_last`` may be (N, nu, B) batch-minor —
+    each robot's previous command sequence — instead of the shared (N, nu).
+    """
+    keys = set()
+    if jnp.ndim(params.get("U_last", 0)) == 3:
+        keys.add("U_last")
+    return keys
 from mmmpc_tpu.utils.configs import SolverConfig
 from mmmpc_tpu.ops.riccati import (
     LANES, riccati_backward, riccati_backward_bm,
@@ -46,16 +64,23 @@ def al_ilqr_solve_batched(ocp: OCP, x0_b, U0_b, params,
     B = x0_b.shape[0]
     use_kernel = (cfg.use_pallas_riccati and B % LANES == 0
                   and (jax.default_backend() != "cpu" or cfg.force_kernel))
-    if not use_kernel:
+    ps_keys = _per_scenario_keys(params)
+    use_lanes = (use_kernel and cfg.use_pallas_linesearch
+                 and ocp.lanes_fwd_factory is not None)
+    if not use_kernel or (ps_keys and not use_lanes):
+        # vmap fallback; per-scenario params entries map on their trailing
+        # (batch-minor) axis
+        p_axes = _params_axes(params, ps_keys)
         if lam0_b is None:
             return jax.vmap(
-                lambda x0, U0: al_ilqr_solve(ocp, x0, U0, params, cfg))(
-                    x0_b, U0_b)
+                lambda x0, U0, p: al_ilqr_solve(ocp, x0, U0, p, cfg),
+                in_axes=(0, 0, p_axes))(x0_b, U0_b, params)
         return jax.vmap(
-            lambda x0, U0, ls, lt, le: al_ilqr_solve(
-                ocp, x0, U0, params, cfg, lam0=(ls, lt, le)))(
-                x0_b, U0_b, *lam0_b)
-    if cfg.use_pallas_linesearch and ocp.lanes_fwd_factory is not None:
+            lambda x0, U0, ls, lt, le, p: al_ilqr_solve(
+                ocp, x0, U0, p, cfg, lam0=(ls, lt, le)),
+            in_axes=(0, 0, 0, 0, 0, p_axes))(
+                x0_b, U0_b, *lam0_b, params)
+    if use_lanes:
         return _solve_batched_lanes(ocp, x0_b, U0_b, params, cfg, lam0_b)
 
     dtype = jnp.result_type(x0_b)
@@ -146,17 +171,54 @@ def _solve_batched_lanes(ocp: OCP, x0_b, U0_b, params,
     """Batch-minor inner loop with both Pallas kernels (see module doc)."""
     B = x0_b.shape[0]
     dtype = jnp.result_type(x0_b)
-    core = build_core(ocp, params, cfg, dtype)
+    ps_keys = _per_scenario_keys(params)
+    # core closures bind shared params; per-scenario entries get explicit
+    # param-passing wrappers below (the kernels consume the batched arrays
+    # directly)
+    core_params = (params if not ps_keys
+                   else dict(params, U_last=params["U_last"][..., 0]))
+    core = build_core(ocp, core_params, cfg, dtype)
     N, nc, nct, ne = core.N, core.nc, core.nct, core.ne
     fwd_ls = ocp.lanes_fwd_factory(cfg)
     fwd_has_terminal = getattr(fwd_ls, "includes_terminal", False)
     alphas_idx = jnp.arange(cfg.n_alpha)
+    inv_scale = 1.0 / cfg.cost_scale
+    ks = jnp.arange(N)
 
     # ---- batch-minor vmapped building blocks --------------------------
     rollout_bm = jax.vmap(lambda x0, U: rollout(ocp, x0, U, params),
                           in_axes=(-1, -1), out_axes=-1)
-    al_total_bm = jax.vmap(core.al_total,
-                           in_axes=(-1, -1, (-1, -1, -1), None))
+    if ps_keys:
+        p_axes = _params_axes(params, ps_keys)
+
+        def al_total_p(X, U, lams, mu, p):
+            ls, lt, le = lams
+
+            def st(x, u, k, l):
+                c = ocp.stage_cost(x, u, k, p) * inv_scale
+                if nc:
+                    c = c + _al_penalty_ineq(ocp.stage_ineq(x, u, k, p),
+                                             l, mu)
+                return c
+
+            total = jnp.sum(jax.vmap(st)(X[:-1], U, ks, ls))
+            term = ocp.terminal_cost(X[-1], p) * inv_scale
+            if nct:
+                term = term + _al_penalty_ineq(
+                    ocp.terminal_ineq(X[-1], p), lt, mu)
+            if ne:
+                term = term + _al_penalty_eq(
+                    ocp.terminal_eq(X[-1], p), le, mu)
+            return total + term
+
+        _al_total_v = jax.vmap(
+            al_total_p, in_axes=(-1, -1, (-1, -1, -1), None, p_axes))
+
+        def al_total_bm(X, U, lams, mu):
+            return _al_total_v(X, U, lams, mu, params)
+    else:
+        al_total_bm = jax.vmap(core.al_total,
+                               in_axes=(-1, -1, (-1, -1, -1), None))
     derivs_bm = jax.vmap(
         jax.vmap(core.stage_derivs, in_axes=(0, 0, 0, 0, None)),
         in_axes=(-1, -1, None, -1, None), out_axes=-1)
@@ -167,13 +229,33 @@ def _solve_batched_lanes(ocp: OCP, x0_b, U0_b, params,
     al_term_bm = jax.vmap(
         jax.vmap(core.al_terminal, in_axes=(-1, -1, -1, None)),
         in_axes=(0, None, None, None))
-    eval_con_bm = jax.vmap(core.eval_constraints, in_axes=(-1, -1),
-                           out_axes=-1)
+    if ps_keys:
+        def eval_con_p(X, U, p):
+            cs = (jax.vmap(lambda x, u, k: ocp.stage_ineq(x, u, k, p))(
+                X[:-1], U, ks) if nc else jnp.zeros((N, 0), dtype))
+            ct = (ocp.terminal_ineq(X[-1], p) if nct
+                  else jnp.zeros((0,), dtype))
+            he = (ocp.terminal_eq(X[-1], p) if ne
+                  else jnp.zeros((0,), dtype))
+            return cs, ct, he
+
+        _eval_con_v = jax.vmap(eval_con_p, in_axes=(-1, -1, p_axes),
+                               out_axes=-1)
+
+        def eval_con_bm(X, U):
+            return _eval_con_v(X, U, params)
+    else:
+        eval_con_bm = jax.vmap(core.eval_constraints, in_axes=(-1, -1),
+                               out_axes=-1)
     viol_bm = jax.vmap(core.violation, in_axes=(-1, -1, -1))
 
     bwd_fused = (ocp.lanes_bwd_factory(cfg)
                  if (cfg.use_fused_backward
                      and ocp.lanes_bwd_factory is not None) else None)
+    assert not ps_keys or (bwd_fused is not None and fwd_has_terminal), (
+        "per-scenario params on the lanes path require both fused kernels "
+        "(they read the batched arrays directly); the vmapped stage-"
+        "derivative path would silently use a single scenario's U_last")
 
     def ilqr_iter(carry, lams_mu):
         X, U, cost, reg = carry     # X (N+1,nx,B), U (N,nu,B), cost/reg (B,)
@@ -250,8 +332,12 @@ def _solve_batched_lanes(ocp: OCP, x0_b, U0_b, params,
     X_fin, U_fin, lam_stage, lam_term, lam_eq, viol = run_al_rounds(
         al_round, carry0, cfg)
 
-    cost = jax.vmap(lambda X, U: _objective(ocp, X, U, params),
-                    in_axes=(-1, -1))(X_fin, U_fin)
+    if ps_keys:
+        cost = jax.vmap(lambda X, U, p: _objective(ocp, X, U, p),
+                        in_axes=(-1, -1, p_axes))(X_fin, U_fin, params)
+    else:
+        cost = jax.vmap(lambda X, U: _objective(ocp, X, U, params),
+                        in_axes=(-1, -1))(X_fin, U_fin)
     # back to the batch-major result contract
     return SolveResult(
         X=jnp.transpose(X_fin, (2, 0, 1)),

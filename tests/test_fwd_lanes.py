@@ -123,3 +123,33 @@ def test_lanes_solve_matches_batch_major(problem, monkeypatch):
     np.testing.assert_allclose(np.asarray(res_lanes.max_violation[:S]),
                                np.asarray(res_major.max_violation[:S]),
                                atol=1e-3)
+
+
+def test_lanes_per_scenario_ulast(problem, monkeypatch):
+    """Fleet serving: per-scenario U_last (each robot's previous command
+    sequence) through BOTH fused kernels matches the per-scenario vmap
+    path."""
+    mpc, cfg, x0_b, U0_b, params = problem
+    monkeypatch.setattr(fwd_mod, "INTERPRET", True)
+    monkeypatch.setattr(bwd_mod, "INTERPRET", True)
+    monkeypatch.setattr(ric, "INTERPRET", True)
+    monkeypatch.setattr(batched_mod.jax, "default_backend", lambda: "tpu")
+
+    rng = np.random.default_rng(3)
+    ulast_b = jnp.asarray(0.2 * rng.standard_normal((N, 5, B)), F32)
+    params_ps = dict(params, U_last=ulast_b)
+
+    res_lanes = al_ilqr_solve_batched(mpc.ocp, x0_b, U0_b, params_ps, cfg)
+
+    # oracle: per-scenario vmap of the scan solver with mapped U_last
+    cfg_vmap = dataclasses.replace(cfg, use_pallas_riccati=False)
+    res_ref = al_ilqr_solve_batched(mpc.ocp, x0_b, U0_b, params_ps,
+                                    cfg_vmap)
+    S = 64
+    np.testing.assert_allclose(np.asarray(res_lanes.U[:S]),
+                               np.asarray(res_ref.U[:S]), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(res_lanes.cost[:S]),
+                               np.asarray(res_ref.cost[:S]), rtol=5e-3)
+    # and differs from the shared-U_last solve (the feature has an effect)
+    res_shared = al_ilqr_solve_batched(mpc.ocp, x0_b, U0_b, params, cfg)
+    assert float(jnp.max(jnp.abs(res_shared.U - res_lanes.U))) > 1e-4

@@ -1,0 +1,43 @@
+"""Multi-host scaffolding: single-process degenerate path on the virtual
+8-device mesh (the multi-process path differs only in process bootstrap and
+jax.make_array_from_process_local_data assembly, both jax-native)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmmpc_tpu.parallel import (
+    batched_solve_fn, global_data_mesh, host_local_batch, init_distributed,
+    process_batch_slice, sharded_solve_fn,
+)
+from tests.test_parallel import _problem, small_mpc  # noqa: F401
+
+
+def test_init_distributed_noop_without_config(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert init_distributed() is False
+
+
+def test_process_batch_slice_single():
+    local, off = process_batch_slice(64)
+    assert local == 64 and off == 0
+
+
+def test_host_local_batch_solve_matches_vmap(small_mpc):
+    """Global-mesh + host-local feeding reproduces the plain vmap solve."""
+    B = 16
+    x0_b, U0_b, params = _problem(small_mpc, B)
+    mesh = global_data_mesh()
+    x0_g, U0_g = host_local_batch(mesh, (np.asarray(x0_b),
+                                         np.asarray(U0_b)))
+    assert len(x0_g.sharding.device_set) == len(jax.devices())
+
+    run = sharded_solve_fn(small_mpc.solve_fn(), mesh)
+    res, stats = run(x0_g, U0_g, params)
+
+    run_local = jax.jit(batched_solve_fn(small_mpc.solve_fn()))
+    res_ref, _ = run_local(x0_b, U0_b, params)
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(res_ref.U),
+                               atol=1e-10)
+    assert float(stats.n_solved) == B
