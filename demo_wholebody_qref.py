@@ -48,6 +48,8 @@ if __name__ == "__main__":
                     action="store_false")
     ap.add_argument("--plots", default=None,
                     help="directory to write result plots into")
+    ap.add_argument("--animate", action="store_true",
+                    help="also write the 3-D scene GIF (scene3d.gif)")
     args = ap.parse_args()
 
     world = build_world(args.scenario, physical_sim=args.physical_sim)
@@ -56,4 +58,4 @@ if __name__ == "__main__":
           "after", world.mpc_step_counter, "MPC steps")
     print("metrics:", world.metrics.summary())
     if args.plots:
-        world.plot3D(save_dir=args.plots)
+        world.plot3D(save_dir=args.plots, animate=args.animate)

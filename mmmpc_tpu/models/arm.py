@@ -25,6 +25,7 @@ targets, no host round-trip.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # DH constants (reference manipulator_3DoF.py:18-22, from the Franka Panda
 # dynamic-identification paper DH table).
@@ -69,6 +70,26 @@ def arm_fk(q):
     joint3 = jnp.stack([x3, zero, z3])
     ee = jnp.stack([xe, zero, ze])
     return ee, joint2, joint3
+
+
+def arm_fk_np(q):
+    """Pure-numpy twin of :func:`arm_fk` for host-side consumers (plotting,
+    the C++ runtime parity tests) that must not touch the device per call.
+    Kept in lockstep by tests/test_kinematics.py."""
+    q1, q2, q3 = float(q[0]), float(q[1]), float(q[2])
+    s1, c1 = np.sin(q1), np.cos(q1)
+    theta = q1 - q2
+    st, ct = np.sin(theta), np.cos(theta)
+    beta = theta - q3
+    sb, cb = np.sin(beta), np.cos(beta)
+    x2 = A2 * s1 + A3 * c1
+    z2 = A2 * c1 - A3 * s1
+    x3 = x2 - A3 * ct + A5 * st
+    z3 = z2 + A3 * st + A5 * ct
+    xe = x3 + A6 * cb - A7 * sb
+    ze = z3 - A6 * sb - A7 * cb
+    return (np.array([xe, 0.0, ze]), np.array([x2, 0.0, z2]),
+            np.array([x3, 0.0, z3]))
 
 
 def arm_step(q, dq, dt):

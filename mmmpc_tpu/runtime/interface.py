@@ -430,7 +430,10 @@ class Interface:
             fig.savefig(save_path)
         plt.close(fig)
 
-    def plot3D(self, save_dir=None):
+    def plot3D(self, save_dir=None, animate=False):
+        """2-D panel family (reference interface:711-716) plus a genuine 3-D
+        scene rendering and, optionally, the GIF animation artifact the
+        reference publishes (README.md:89-98)."""
         prefix = str(save_dir) + "/" if save_dir else ""
         self.plot2D(save_path=f"{prefix}base.png" if save_dir else None)
         self.plotManipulator(
@@ -438,3 +441,19 @@ class Interface:
             save_path=f"{prefix}manipulator.png" if save_dir else None)
         self.plotEndpoint(
             save_path=f"{prefix}endpoint.png" if save_dir else None)
+        if save_dir:
+            from mmmpc_tpu.runtime.scene3d import (
+                scene3d_animation, scene3d_plot,
+            )
+            hp = getattr(self.controller, "obstacle_manipulation_list", [])
+            scene3d_plot(
+                np.asarray(self.x_log),
+                obstacles=getattr(self.controller, "obstacle_list", []),
+                halfplanes=hp, target=self.global_pose_target[:3],
+                save_path=f"{prefix}scene3d.png")
+            if animate:
+                scene3d_animation(
+                    np.asarray(self.x_log),
+                    obstacles=getattr(self.controller, "obstacle_list", []),
+                    halfplanes=hp, target=self.global_pose_target[:3],
+                    save_path=f"{prefix}scene3d.gif")

@@ -145,6 +145,16 @@ def build_core(ocp: OCP, params, cfg: SolverConfig, dtype):
 
         g = jax.grad(fz)(z)
         H = jax.hessian(fz)(z)
+        # PSD guard: exact Hessians of nonconvex stage costs can be
+        # indefinite, and an indefinite Quu reaching the unrolled Cholesky
+        # produces sqrt(<0) = NaN before the regularization feedback loop can
+        # react.  Clamp eigenvalues (tiny (nx+nu)^2 matrix; this path is the
+        # cold general-OCP fallback, never the batched hot path, so an eigh
+        # per stage is affordable).  The GN/hand/AL-expansion paths build
+        # J^T J and are PSD by construction.
+        H = 0.5 * (H + H.T)
+        w, V = jnp.linalg.eigh(H)
+        H = (V * jnp.maximum(w, 1e-8)) @ V.T
         A, B = _dyn_jacs(x, u)
         return (g[:nx], g[nx:], H[:nx, :nx], H[nx:, nx:], H[nx:, :nx], A, B)
 
@@ -242,7 +252,11 @@ def build_core(ocp: OCP, params, cfg: SolverConfig, dtype):
             return 2.0 * (Jt.T @ rt), 2.0 * (Jt.T @ Jt)
         g = jax.grad(lambda xx: al_terminal(xx, lam_t, lam_e, mu))(x)
         H = jax.hessian(lambda xx: al_terminal(xx, lam_t, lam_e, mu))(x)
-        return g, H
+        # Same PSD guard as stage_derivs_exact: an indefinite terminal V_xx
+        # seeds the whole backward sweep.
+        H = 0.5 * (H + H.T)
+        w, V = jnp.linalg.eigh(H)
+        return g, (V * jnp.maximum(w, 1e-8)) @ V.T
 
     def fwd_pass(x0, X, U, kffs, Ks, alpha, lams, mu):
         """Closed-loop rollout with step size alpha: (Xn, Un, cost)."""

@@ -1,0 +1,87 @@
+"""Fleet task benchmark: thousands of FULL move->press-button tasks running
+concurrently in one compiled on-device loop (sim/batch_task_engine.py).
+
+The reference completes one task per process in ~70 host-driven control ticks
+with one IPOPT solve each (interface_wholebody_qref.py:65-143).  Here the
+whole fleet's task FSMs, solves, IK and plant steps advance together per tick;
+the metric is task completion rate + fleet tick throughput.
+
+Run on the TPU:  python scripts/bench_fleet_tasks.py [batch] [scenario]
+"""
+
+import json
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmmpc_tpu.controllers import MPCWholeBody
+from mmmpc_tpu.models.obstacles import Obstacles
+from mmmpc_tpu.models.robots import MobileManipulator
+from mmmpc_tpu.sim.batch_task_engine import PHASE_DONE, make_batch_task_loop
+from mmmpc_tpu.utils.configs import SolverConfig, make_scenario
+
+# the fleet RT schedule (scripts/rt_latency.py): warm starts carry across
+# ticks inside the loop, so the per-tick budget stays small
+CFG = SolverConfig(al_iters=3, ilqr_iters=8, ilqr_iters_later=5,
+                   cost_scale=1e5, constraint_tol=1e-3, n_alpha=3,
+                   alpha_decay=0.35)
+N = 10
+N_TICKS = 90
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    scenario = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    sc = make_scenario(scenario, N=N)
+    hp = [(sc.hp_points[j], sc.hp_normals[j][None, :])
+          for j in range(int(sc.hp_mask.sum()))]
+    obstacles = [Obstacles(*row) for row in sc.ground_obstacles]
+    mpc = MPCWholeBody(MobileManipulator(sc.dt), obstacles, hp, N=N,
+                       solver_config=CFG)
+    shared = mpc.make_params(np.zeros((N + 1, 9)), np.zeros((N, 5)))
+    for k in ("X_ref", "U_ref"):
+        shared.pop(k)
+    shared = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), shared)
+
+    run = jax.jit(make_batch_task_loop(
+        mpc.ocp, CFG, shared, t_move=sc.t_move, t_manipulate=sc.t_manipulate,
+        dt=sc.dt, n_ticks=N_TICKS, ik_iters=40))
+
+    rng = np.random.default_rng(0)
+    x0 = np.tile(sc.x_start, (batch, 1)).astype(np.float32)
+    # joint-space jitter (base jitter strands the reference's brittle
+    # 1 cm / 0.5 deg rotate-phase exit tolerances — host-Interface parity,
+    # see tests/test_task_engine.py)
+    x0[:, 6:] += (0.05 * rng.standard_normal((batch, 3))).astype(np.float32)
+    gpt = np.tile(np.asarray(sc.global_pose_target, np.float32), (batch, 1))
+
+    log = run(jnp.asarray(x0), jnp.asarray(gpt))
+    jax.block_until_ready(log.X)
+
+    t0 = time.perf_counter()
+    log = run(jnp.asarray(x0), jnp.asarray(gpt))
+    jax.block_until_ready(log.X)
+    dt_wall = time.perf_counter() - t0
+
+    done = np.asarray(log.phase[:, -1]) == PHASE_DONE
+    done_at = np.asarray(log.done_at, dtype=float)
+    print(json.dumps({
+        "scenario": scenario, "batch": batch, "n_ticks": N_TICKS,
+        "horizon": N, "wall_s": round(dt_wall, 3),
+        "completion_rate": round(float(done.mean()), 4),
+        "median_done_tick": float(np.median(done_at[done]))
+        if done.any() else None,
+        "robot_ticks_per_s": round(batch * N_TICKS / dt_wall, 1),
+        "fleet_tick_ms": round(dt_wall / N_TICKS * 1e3, 2),
+        "max_violation": float(np.max(np.asarray(log.violation))),
+    }, ), flush=True)
+
+
+if __name__ == "__main__":
+    main()

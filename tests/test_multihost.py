@@ -2,6 +2,7 @@
 8-device mesh (the multi-process path differs only in process bootstrap and
 jax.make_array_from_process_local_data assembly, both jax-native)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -41,3 +42,25 @@ def test_host_local_batch_solve_matches_vmap(small_mpc):
     np.testing.assert_allclose(np.asarray(res.U), np.asarray(res_ref.U),
                                atol=1e-10)
     assert float(stats.n_solved) == B
+
+
+@pytest.mark.slow
+def test_true_multiprocess_collectives():
+    """Spawn 2 real OS processes (4 virtual devices each) and run the full
+    multi-host path: jax.distributed bootstrap, global mesh, host-local
+    feeding, cross-process psum/pmax inside the program, bit-parity with the
+    single-process oracle (scripts/dryrun_multiprocess.py)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, MMMPC_MP_PORT="18931")
+    # the child processes must NOT inherit this test run's 8-device flag
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts",
+                                      "dryrun_multiprocess.py")],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "PASS" in out.stdout
