@@ -164,7 +164,16 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
         return (x_next, U_applied, lams, phase, traj_man, u0,
                 res.cost, res.max_violation)
 
-    def run(x_start_b, global_pose_target_b):
+    def run(x_start_b, global_pose_target_b, carry0=None):
+        """One n_ticks segment of the fleet task loop.
+
+        carry0=None starts fresh; passing the carry returned by a previous
+        segment continues it (chunked dispatch: a 300-tick task at fleet
+        batch is minutes of device time in ONE XLA execution — long past
+        what the transport tolerates — so callers run bounded segments and
+        thread the carry; it is also the fleet checkpoint payload).
+        Returns (TaskRolloutLog for this segment, carry).
+        """
         B = x_start_b.shape[0]
         dtype = x_start_b.dtype
         x_target_b = stand_off_target(x_start_b, global_pose_target_b)
@@ -185,14 +194,15 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
         nct = jax.eval_shape(ocp.terminal_ineq, zx, probe).shape[0]
         ne = jax.eval_shape(ocp.terminal_eq, zx, probe).shape[0]
 
-        carry0 = (
-            x_start_b,
-            jnp.zeros((B, N, nu), dtype),
-            (jnp.zeros((B, N, nc), dtype), jnp.zeros((B, nct), dtype),
-             jnp.zeros((B, ne), dtype)),
-            jnp.full((B,), PHASE_MOVE, jnp.int32),
-            jnp.tile(x_start_b[:, None, :], (1, T_man + 1, 1)),
-        )
+        if carry0 is None:
+            carry0 = (
+                x_start_b,
+                jnp.zeros((B, N, nu), dtype),
+                (jnp.zeros((B, N, nc), dtype), jnp.zeros((B, nct), dtype),
+                 jnp.zeros((B, ne), dtype)),
+                jnp.full((B,), PHASE_MOVE, jnp.int32),
+                jnp.tile(x_start_b[:, None, :], (1, T_man + 1, 1)),
+            )
 
         def tick(carry, _):
             x_b, U_b, lam_b, phase_b, man_b = carry
@@ -203,9 +213,9 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
             return ((x_n, U_n, lam_n, phase_n, man_n),
                     (x_n, u0, phase_n, cost, viol))
 
-        _, (Xs, Us, phases, costs, viols) = jax.lax.scan(
+        carry, (Xs, Us, phases, costs, viols) = jax.lax.scan(
             tick, carry0, None, length=n_ticks)
-        X = jnp.concatenate([x_start_b[:, None],
+        X = jnp.concatenate([carry0[0][:, None],
                              jnp.moveaxis(Xs, 0, 1)], axis=1)
         phase_t = jnp.moveaxis(phases, 0, 1)             # (B, T)
         done_mask = phase_t == PHASE_DONE
@@ -215,6 +225,6 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
         return TaskRolloutLog(
             X=X, U=jnp.moveaxis(Us, 0, 1), phase=phase_t,
             cost=jnp.moveaxis(costs, 0, 1),
-            violation=jnp.moveaxis(viols, 0, 1), done_at=done_at)
+            violation=jnp.moveaxis(viols, 0, 1), done_at=done_at), carry
 
     return run

@@ -34,6 +34,30 @@ def _plain_rollout(ocp: OCP, x0, U):
     return jnp.concatenate([Xs, x_last[None, :]], axis=0)
 
 
+# Compiled single-shooting objective/gradient per OCP.  The closed-loop
+# fidelity harness calls the oracles once per tick with fresh (x0, params);
+# making those traced ARGUMENTS of one cached jit (instead of closure
+# captures of a fresh jit per call) turns 10 recompiles into 1.
+_FNS_CACHE: dict = {}
+
+
+def _shooting_fns(ocp: OCP):
+    key = id(ocp)
+    hit = _FNS_CACHE.get(key)
+    if hit is not None and hit[0] is ocp:
+        return hit[1], hit[2]
+
+    def obj(z, x0, params):
+        U = z.reshape(ocp.N, ocp.nu)
+        X = _plain_rollout(ocp, x0, U)
+        return _objective(ocp, X, U, params)
+
+    obj_j = jax.jit(obj)
+    grad_j = jax.jit(jax.grad(obj))
+    _FNS_CACHE[key] = (ocp, obj_j, grad_j)   # strong ref pins the id
+    return obj_j, grad_j
+
+
 def scipy_solve(ocp: OCP, x0, U_init, params, maxiter: int = 1000,
                 gtol: float = 1e-9, xtol: float = 1e-12):
     """Returns (U, X, cost, scipy_result)."""
@@ -116,20 +140,15 @@ def lbfgs_solve(ocp: OCP, x0, U_init, params, maxiter: int = 5000):
     N, nu = ocp.N, ocp.nu
     x0 = jnp.asarray(x0, jnp.float64)
 
-    def obj(z):
-        U = z.reshape(N, nu)
-        X = _plain_rollout(ocp, x0, U)
-        return _objective(ocp, X, U, params)
-
-    obj_j = jax.jit(obj)
-    grad_j = jax.jit(jax.grad(obj))
+    obj_j, grad_j = _shooting_fns(ocp)
     lo = np.tile(np.asarray(ocp.u_lower, dtype=np.float64)
                  if ocp.u_lower is not None else -np.inf, N)
     hi = np.tile(np.asarray(ocp.u_upper, dtype=np.float64)
                  if ocp.u_upper is not None else np.inf, N)
     res = sopt.minimize(
-        lambda z: float(obj_j(z)), np.asarray(U_init, dtype=np.float64).ravel(),
-        jac=lambda z: np.asarray(grad_j(z)), method="L-BFGS-B",
+        lambda z: float(obj_j(z, x0, params)),
+        np.asarray(U_init, dtype=np.float64).ravel(),
+        jac=lambda z: np.asarray(grad_j(z, x0, params)), method="L-BFGS-B",
         bounds=sopt.Bounds(lo, hi),
         options={"maxiter": maxiter, "ftol": 1e-14, "gtol": 1e-12})
     U = jnp.asarray(res.x.reshape(N, nu))

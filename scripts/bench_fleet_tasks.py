@@ -26,13 +26,21 @@ from mmmpc_tpu.models.robots import MobileManipulator
 from mmmpc_tpu.sim.batch_task_engine import PHASE_DONE, make_batch_task_loop
 from mmmpc_tpu.utils.configs import SolverConfig, make_scenario
 
-# the fleet RT schedule (scripts/rt_latency.py): warm starts carry across
-# ticks inside the loop, so the per-tick budget stays small
-CFG = SolverConfig(al_iters=3, ilqr_iters=8, ilqr_iters_later=5,
-                   cost_scale=1e5, constraint_tol=1e-3, n_alpha=3,
-                   alpha_decay=0.35)
-N = 10
-N_TICKS = 90
+# the host Interface's default budget: the task FSM's phase switches
+# (terminal-equality activation ~1.5 m out, rotate weight jolt) need the
+# full schedule; the lean RT schedule leaves >1 violations at those ticks
+CFG = SolverConfig(al_iters=6, ilqr_iters=12, cost_scale=1e5,
+                   constraint_tol=1e-3, n_alpha=3, alpha_decay=0.35)
+# N=20 is the reference demo horizon (demo_wholebody_qref.py:11); the
+# FSM's terminal equality activates up to ~2.8 m out (interface:155-167),
+# which a 1 s horizon cannot reach -- N=10 is only feasible for the nearby
+# scenario-0 target (tests/test_task_engine.py).  The host Interface needs
+# 192 ticks for scenario 1 (most of it the rotate phase settling the
+# reference's brittle 1 cm / 0.5 deg exit tolerances); 280 gives the fleet's
+# jittered stragglers headroom
+N = 20
+N_TICKS = 280
+CHUNK = 40                    # ticks per XLA execution (transport-bounded)
 
 
 def main():
@@ -51,7 +59,7 @@ def main():
 
     run = jax.jit(make_batch_task_loop(
         mpc.ocp, CFG, shared, t_move=sc.t_move, t_manipulate=sc.t_manipulate,
-        dt=sc.dt, n_ticks=N_TICKS, ik_iters=40))
+        dt=sc.dt, n_ticks=CHUNK, ik_iters=40))
 
     rng = np.random.default_rng(0)
     x0 = np.tile(sc.x_start, (batch, 1)).astype(np.float32)
@@ -61,16 +69,27 @@ def main():
     x0[:, 6:] += (0.05 * rng.standard_normal((batch, 3))).astype(np.float32)
     gpt = np.tile(np.asarray(sc.global_pose_target, np.float32), (batch, 1))
 
-    log = run(jnp.asarray(x0), jnp.asarray(gpt))
+    x0_j, gpt_j = jnp.asarray(x0), jnp.asarray(gpt)
+    log, _ = run(x0_j, gpt_j)          # compile + warm up one chunk
     jax.block_until_ready(log.X)
 
     t0 = time.perf_counter()
-    log = run(jnp.asarray(x0), jnp.asarray(gpt))
+    carry = None
+    phases = []
+    viol_max = 0.0
+    for _ in range(N_TICKS // CHUNK):
+        log, carry = run(x0_j, gpt_j, carry) if carry is not None \
+            else run(x0_j, gpt_j)
+        phases.append(np.asarray(log.phase))
+        viol_max = max(viol_max, float(np.max(np.asarray(log.violation))))
     jax.block_until_ready(log.X)
     dt_wall = time.perf_counter() - t0
 
-    done = np.asarray(log.phase[:, -1]) == PHASE_DONE
-    done_at = np.asarray(log.done_at, dtype=float)
+    phase_t = np.concatenate(phases, axis=1)           # (B, N_TICKS)
+    done = phase_t[:, -1] == PHASE_DONE
+    done_mask = phase_t == PHASE_DONE
+    done_at = np.where(done_mask.any(axis=1),
+                       done_mask.argmax(axis=1), N_TICKS).astype(float)
     print(json.dumps({
         "scenario": scenario, "batch": batch, "n_ticks": N_TICKS,
         "horizon": N, "wall_s": round(dt_wall, 3),
@@ -79,7 +98,7 @@ def main():
         if done.any() else None,
         "robot_ticks_per_s": round(batch * N_TICKS / dt_wall, 1),
         "fleet_tick_ms": round(dt_wall / N_TICKS * 1e3, 2),
-        "max_violation": float(np.max(np.asarray(log.violation))),
+        "max_violation": viol_max,
     }, ), flush=True)
 
 

@@ -171,7 +171,44 @@ def self_consistency_n20():
     return dU, dc, float(r2.max_violation)
 
 
+def run_config(i: int):
+    """One config's rows (run in its own process; see main's fan-out)."""
+    name, mpc, x0, traj, u_ref, T = scenario_cfgs()[i]
+    dU, dcost, which, viol = per_solve_row(mpc, x0, traj, u_ref)
+    dev = closed_loop_row(mpc, x0, traj, u_ref, T)
+    return {"name": name, "dU": dU, "dcost": dcost, "oracle": which,
+            "viol": viol, "dev": dev}
+
+
 def main():
+    import json
+    import subprocess
+
+    if "--config" in sys.argv:
+        print("JSON:" + json.dumps(
+            run_config(int(sys.argv[sys.argv.index("--config") + 1]))))
+        return
+    if "--self" in sys.argv:
+        dU, dc, viol2 = self_consistency_n20()
+        print("JSON:" + json.dumps({"dU": dU, "dc": dc, "viol2": viol2}))
+        return
+
+    # fan out: one process per config (the oracles are single-threaded
+    # scipy; the box has plenty of cores)
+    n_cfg = len(scenario_cfgs())
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), flag, str(i)],
+        stdout=subprocess.PIPE, text=True)
+        for flag, i in [("--config", i) for i in range(n_cfg)]
+        + [("--self", 0)]]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=3600)
+        assert p.returncode == 0, out
+        outs.append(json.loads(
+            [ln for ln in out.splitlines() if ln.startswith("JSON:")][-1][5:]))
+    rows, selfrow = outs[:n_cfg], outs[n_cfg]
+
     lines = [
         "# FIDELITY — solver agreement with independent oracles",
         "",
@@ -186,14 +223,12 @@ def main():
         " closed-loop max dev (T=10) |",
         "|---|---|---|---|---|---|",
     ]
-    for name, mpc, x0, traj, u_ref, T in scenario_cfgs():
-        dU, dcost, which, viol = per_solve_row(mpc, x0, traj, u_ref)
-        dev = closed_loop_row(mpc, x0, traj, u_ref, T)
-        lines.append(f"| {name} | {dU:.2e} | {dcost:+.2e} | {which} |"
-                     f" {viol:.1e} | {dev:.2e} |")
+    for r in rows:
+        lines.append(f"| {r['name']} | {r['dU']:.2e} | {r['dcost']:+.2e} |"
+                     f" {r['oracle']} | {r['viol']:.1e} | {r['dev']:.2e} |")
         print(lines[-1], flush=True)
 
-    dU, dc, viol2 = self_consistency_n20()
+    dU, dc, viol2 = selfrow["dU"], selfrow["dc"], selfrow["viol2"]
     lines += [
         "",
         f"Self-consistency at the demo horizon (N=20, scenario-1 stack,"

@@ -40,7 +40,18 @@ def test_fleet_task_completion():
     x0[:, 6] += 0.05 * rng.standard_normal(B)
     x0[:, 7] = np.minimum(x0[:, 7] + 0.05 * rng.standard_normal(B), 0.0)
     gpt = np.tile(sc.global_pose_target, (B, 1))
-    log = jax.jit(run)(jnp.asarray(x0), jnp.asarray(gpt))
+    # chunked dispatch: two segments threaded by the carry (the same
+    # mechanism fleet benches use to keep each XLA execution bounded)
+    jrun = jax.jit(run)
+    log1, carry = jrun(jnp.asarray(x0), jnp.asarray(gpt))
+    log2, _ = jrun(jnp.asarray(x0), jnp.asarray(gpt), carry)
+    import jax as _jax
+    log = _jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=1)
+        if a.ndim > 1 else a, log1, log2)
+    log = log._replace(done_at=jnp.where(
+        log1.done_at < log1.phase.shape[1], log1.done_at,
+        log1.phase.shape[1] + log2.done_at))
 
     done = np.asarray(log.phase[:, -1]) == PHASE_DONE
     assert done.all(), f"phases at end: {np.asarray(log.phase[:, -1])}"
