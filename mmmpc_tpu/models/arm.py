@@ -158,4 +158,8 @@ def arm_ik(q_init, x_target, iters: int = 300, lm_lambda: float = 1e-6):
         return cands[jnp.argmin(costs)]
 
     q0 = jnp.clip(jnp.asarray(q_init), ARM_IK_LOWER, ARM_IK_UPPER)
-    return jax.lax.fori_loop(0, iters, body, q0)
+    # millimetre-accurate IK needs full-f32 multiplies on TPU (the MXU
+    # defaults to bf16; see SolverConfig.matmul_precision for the
+    # closed-loop failure this prevents)
+    with jax.default_matmul_precision("highest"):
+        return jax.lax.fori_loop(0, iters, body, q0)

@@ -391,6 +391,15 @@ def al_ilqr_solve(ocp: OCP, x0, U_init, params,
     start for the AL multipliers (e.g. the previous tick's SolveResult fields
     through ``shift_multipliers``).  Zeros when None (cold start).
     """
+    # TPU MXU matmuls default to bfloat16 multiplies; at the solver's 9x9
+    # scale that costs nothing to raise and silently breaks closed-loop
+    # regulation if left low (see SolverConfig.matmul_precision).
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _al_ilqr_solve_body(ocp, x0, U_init, params, cfg, lam0)
+
+
+def _al_ilqr_solve_body(ocp: OCP, x0, U_init, params, cfg: SolverConfig,
+                        lam0) -> SolveResult:
     dtype = jnp.result_type(x0)
     core = build_core(ocp, params, cfg, dtype)
     N, nc, nct, ne = core.N, core.nc, core.nct, core.ne

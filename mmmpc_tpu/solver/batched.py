@@ -61,6 +61,15 @@ def al_ilqr_solve_batched(ocp: OCP, x0_b, U0_b, params,
     the previous tick's SolveResult fields.  Returns a SolveResult with a
     leading batch axis on every field.
     """
+    # same precision guard as al_ilqr_solve (the vmap fallback inherits it
+    # from there; this covers the kernel paths' surrounding jnp algebra)
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _al_ilqr_solve_batched_body(ocp, x0_b, U0_b, params, cfg,
+                                           lam0_b)
+
+
+def _al_ilqr_solve_batched_body(ocp: OCP, x0_b, U0_b, params,
+                                cfg: SolverConfig, lam0_b) -> SolveResult:
     B = x0_b.shape[0]
     use_kernel = (cfg.use_pallas_riccati and B % LANES == 0
                   and (jax.default_backend() != "cpu" or cfg.force_kernel))

@@ -94,6 +94,15 @@ class SolverConfig:
     # at N<=20 / batch>=1024 the lanes kernels win.  Applies to the scan
     # (non-lanes) solver paths.
     use_assoc_scan: bool = False
+    # Matmul precision for the solver's linear algebra.  TPU's MXU defaults
+    # to bfloat16 multiplies, whose 8-bit mantissa is NOT enough for the
+    # Riccati gain algebra: solves still pass a 1e-3 violation tolerance,
+    # but closed-loop position regulation degenerates into a persistent
+    # ~1 m limit cycle around the target (measured: a scenario-1 rotate
+    # phase that settles in ~110 ticks on CPU f32 never settles on TPU
+    # under bf16 matmuls).  These are 9x9/5x5 matrices — full-f32 multiply
+    # costs nothing measurable here, so "highest" is the correct default.
+    matmul_precision: str = "highest"
 
 
 @dataclasses.dataclass(frozen=True)

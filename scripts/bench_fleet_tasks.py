@@ -39,7 +39,7 @@ CFG = SolverConfig(al_iters=6, ilqr_iters=12, cost_scale=1e5,
 # reference's brittle 1 cm / 0.5 deg exit tolerances); 280 gives the fleet's
 # jittered stragglers headroom
 N = 20
-N_TICKS = 280
+N_TICKS = 400
 CHUNK = 40                    # ticks per XLA execution (transport-bounded)
 
 
