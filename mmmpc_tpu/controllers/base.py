@@ -83,7 +83,8 @@ class MPCBase(ControllerBase):
         def box6(x):
             # xlim columns: [x, y, (dx, dy, dpsi)] — yaw unbounded
             v = jnp.concatenate([x[:2], x[3:]])
-            return jnp.concatenate([v - xlim_j[1], xlim_j[0] - v])
+            lim = xlim_j.astype(v.dtype)   # dtype-preserving (f32 hot path)
+            return jnp.concatenate([v - lim[1], lim[0] - v])
 
         def stage_ineq(x, u, k, p):
             return box6(x)
@@ -106,13 +107,83 @@ class MPCBase(ControllerBase):
             e = state_error(x, p["X_ref"][N])
             return jnp.concatenate([p["P_s"] @ e, slack_res(x, p)])
 
+        n_obs = int(self.obstacles_value.shape[0])
+        ulim_np = self.ulim
+
+        def lanes_fwd_factory(cfg):
+            from mmmpc_tpu.ops import generic_fwd as gf
+            xlo = [float(v) for v in self.xlim[0]]   # 5-wide (x,y,dx,dy,dpsi)
+            xhi = [float(v) for v in self.xlim[1]]
+
+            def dyn(x, u):
+                c, s = jnp.cos(x[2]), jnp.sin(x[2])
+                return [x[0] + dt * x[3],
+                        x[1] + dt * x[4],
+                        x[2] + dt * x[5],
+                        x[3] + dt * (u[0] * c - x[4] * x[5]),
+                        x[4] + dt * (u[0] * s + x[3] * x[5]),
+                        x[5] + dt * u[1]]
+
+            def state_err(x, sm, row):
+                return [x[0] - sm["X_ref"][row, 0],
+                        x[1] - sm["X_ref"][row, 1],
+                        gf.wrap_pi_t(x[2] - sm["X_ref"][row, 2]),
+                        x[3] - sm["X_ref"][row, 3],
+                        x[4] - sm["X_ref"][row, 4],
+                        x[5] - sm["X_ref"][row, 5]]
+
+            def slack_pen(x, sm):
+                if n_obs == 0:
+                    return 0.0
+                gs = gf.ground_circles_t(x[0], x[1], sm["obstacles"], n_obs,
+                                         base_radius)
+                smax = gf.relu_max_t(gs)
+                return sm["M"][0, 0] * smax * smax
+
+            def box6(x):
+                v = [x[0], x[1], x[3], x[4], x[5]]
+                return ([v[i] - xhi[i] for i in range(5)]
+                        + [xlo[i] - v[i] for i in range(5)])
+
+            def stage(x, u, sm, g):
+                e = state_err(x, sm, g)
+                eu = [u[0] - sm["U_ref"][g, 0], u[1] - sm["U_ref"][g, 1]]
+                raw = (gf.qform_t(sm["Q"], e) + gf.qform_t(sm["R"], eu)
+                       + slack_pen(x, sm))
+                return raw, box6(x)
+
+            def terminal(x, sm):
+                e = state_err(x, sm, N)
+                raw = gf.qform_t(sm["P"], e) + slack_pen(x, sm)
+                return raw, box6(x), []
+
+            def pack(p):
+                out = {k: p[k] for k in ("Q", "R", "P", "M", "X_ref",
+                                         "U_ref")}
+                out["obstacles"] = (p["obstacles"] if n_obs
+                                    else jnp.zeros((1, 3)))
+                return out
+
+            hooks = gf.LanesHooks(
+                nc=10, nct=10, ne=0,
+                smem_shapes={"Q": (6, 6), "R": (2, 2), "P": (6, 6),
+                             "M": (1, 1), "X_ref": (N + 1, 6),
+                             "U_ref": (N, 2),
+                             "obstacles": (max(n_obs, 1), 3)},
+                pack=pack, dyn=dyn, stage=stage, terminal=terminal)
+            alphas = [cfg.alpha_decay ** i for i in range(cfg.n_alpha)]
+            return gf.make_generic_fwd_linesearch(
+                nx=6, nu=2, N=N, u_clamp=(ulim_np[0], ulim_np[1]),
+                alphas=alphas, inv_scale=1.0 / cfg.cost_scale, hooks=hooks)
+
         ocp = OCP(nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,
                   stage_cost=stage_cost, terminal_cost=terminal_cost,
                   stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
                   u_lower=jnp.asarray(self.ulim[0]),
                   u_upper=jnp.asarray(self.ulim[1]),
                   stage_residuals=stage_residuals,
-                  terminal_residuals=terminal_residuals)
+                  terminal_residuals=terminal_residuals,
+                  lanes_fwd_factory=lanes_fwd_factory)
         super().__init__(ocp, solver_config or SolverConfig())
         self.reset()
 

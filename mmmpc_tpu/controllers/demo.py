@@ -52,6 +52,33 @@ class MPC(ControllerBase):
         def terminal_residuals(x, p):
             return p["P_s"] @ (x - p["X_ref"][N])
 
+        def lanes_fwd_factory(cfg):
+            from mmmpc_tpu.ops import generic_fwd as gf
+            vlo, vhi = float(vlim[0]), float(vlim[1])
+
+            def stage(x, u, sm, g):
+                ex = [x[0] - sm["X_ref"][g, 0], x[1] - sm["X_ref"][g, 1]]
+                eu = [u[0] - sm["U_ref"][g, 0]]
+                raw = gf.qform_t(sm["Q"], ex) + gf.qform_t(sm["R"], eu)
+                return raw, [x[1] - vhi, vlo - x[1]]
+
+            def terminal(x, sm):
+                ex = [x[0] - sm["X_ref"][N, 0], x[1] - sm["X_ref"][N, 1]]
+                return gf.qform_t(sm["P"], ex), [], []
+
+            hooks = gf.LanesHooks(
+                nc=2, nct=0, ne=0,
+                smem_shapes={"Q": (2, 2), "R": (1, 1), "P": (2, 2),
+                             "X_ref": (N + 1, 2), "U_ref": (N, 1)},
+                pack=lambda p: {k: p[k]
+                                for k in ("Q", "R", "P", "X_ref", "U_ref")},
+                dyn=lambda x, u: [x[0] + dt * x[1], x[1] + dt * u[0]],
+                stage=stage, terminal=terminal)
+            alphas = [cfg.alpha_decay ** i for i in range(cfg.n_alpha)]
+            return gf.make_generic_fwd_linesearch(
+                nx=2, nu=1, N=N, u_clamp=([float(alim[0])], [float(alim[1])]),
+                alphas=alphas, inv_scale=1.0 / cfg.cost_scale, hooks=hooks)
+
         ocp = OCP(nx=self.NX, nu=self.NU, N=N,
                   dynamics=lambda x, u: point_mass_step(x, u, dt),
                   stage_cost=stage_cost, terminal_cost=terminal_cost,
@@ -59,7 +86,8 @@ class MPC(ControllerBase):
                   u_lower=jnp.asarray([float(alim[0])]),
                   u_upper=jnp.asarray([float(alim[1])]),
                   stage_residuals=stage_residuals,
-                  terminal_residuals=terminal_residuals)
+                  terminal_residuals=terminal_residuals,
+                  lanes_fwd_factory=lanes_fwd_factory)
         super().__init__(ocp, solver_config or SolverConfig())
         self.reset()
 

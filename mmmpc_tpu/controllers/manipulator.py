@@ -121,13 +121,16 @@ class MPCManipulator3DoF(ControllerBase):
             return self_collision_g(ee, j2, j3)
 
         def stage_ineq(q, dq, k, p):
-            gq = jnp.concatenate([q - qhi, qlo - q])
+            gq = jnp.concatenate([q - qhi.astype(q.dtype),
+                                  qlo.astype(q.dtype) - q])
             edu = dq - p["U_last"][k]
-            gdd = jnp.concatenate([edu - ddhi, ddlo - edu])
+            gdd = jnp.concatenate([edu - ddhi.astype(q.dtype),
+                                   ddlo.astype(q.dtype) - edu])
             return jnp.concatenate([gq, gdd, selfcol(q)])
 
         def terminal_ineq(q, p):
-            gq = jnp.concatenate([q - qhi, qlo - q])
+            gq = jnp.concatenate([q - qhi.astype(q.dtype),
+                                  qlo.astype(q.dtype) - q])
             return jnp.concatenate([gq, selfcol(q)])
 
         def slack_res(q, p):
@@ -149,13 +152,82 @@ class MPCManipulator3DoF(ControllerBase):
             e = state_error(q, p["X_ref"][N])
             return jnp.concatenate([p["P_s"] @ e, slack_res(q, p)])
 
+        n_hp_static = int(self.hp_mask_value.shape[0])
+        dqlim_np = self.dqlim
+
+        def lanes_fwd_factory(cfg):
+            from mmmpc_tpu.ops import generic_fwd as gf
+            from mmmpc_tpu.ocp.constraints import SELF_COLLISION_RADIUS
+            qlo_f = [float(v) for v in self.qlim[0]]
+            qhi_f = [float(v) for v in self.qlim[1]]
+            ddlo_f = [float(v) for v in self.ddqlim[0]]
+            ddhi_f = [float(v) for v in self.ddqlim[1]]
+
+            def slack_pen(fk, sm):
+                ee, j2, j3 = fk
+                pts = gf.sample_points_t(ee, j2, j3)
+                gs = gf.halfplane_union_t(pts, sm["hp_points"],
+                                          sm["hp_normals"], sm["hp_mask"],
+                                          n_hp_static)
+                smax = gf.relu_max_t(gs)
+                return SLACK_WEIGHT * smax * smax
+
+            def state_err(x, fk, sm, row):
+                if cartesian:
+                    ee = fk[0]
+                    return [ee[c] - sm["X_ref"][row, c] for c in range(3)]
+                return [x[i] - sm["X_ref"][row, i] for i in range(3)]
+
+            def qbox(x):
+                return ([x[i] - qhi_f[i] for i in range(3)]
+                        + [qlo_f[i] - x[i] for i in range(3)])
+
+            def stage(x, u, sm, g):
+                fk = gf.arm_fk_t(x[0], x[1], x[2])
+                e = state_err(x, fk, sm, g)
+                eu = [u[i] - sm["U_ref"][g, i] for i in range(3)]
+                edu = [u[i] - sm["U_last"][g, i] for i in range(3)]
+                raw = (gf.qform_t(sm["Q"], e) + gf.qform_t(sm["R"], eu)
+                       + gf.qform_t(sm["M"], edu) + slack_pen(fk, sm))
+                gdd = ([edu[i] - ddhi_f[i] for i in range(3)]
+                       + [ddlo_f[i] - edu[i] for i in range(3)])
+                sc = gf.self_collision_t(*fk, SELF_COLLISION_RADIUS)
+                return raw, qbox(x) + gdd + sc
+
+            def terminal(x, sm):
+                fk = gf.arm_fk_t(x[0], x[1], x[2])
+                e = state_err(x, fk, sm, N)
+                raw = gf.qform_t(sm["P"], e) + slack_pen(fk, sm)
+                sc = gf.self_collision_t(*fk, SELF_COLLISION_RADIUS)
+                return raw, qbox(x) + sc, []
+
+            nref = 3
+            hooks = gf.LanesHooks(
+                nc=16, nct=10, ne=0,
+                smem_shapes={"Q": (3, 3), "R": (3, 3), "P": (3, 3),
+                             "M": (3, 3), "X_ref": (N + 1, nref),
+                             "U_ref": (N, 3), "U_last": (N, 3),
+                             "hp_points": (n_hp_static, 3),
+                             "hp_normals": (n_hp_static, 3),
+                             "hp_mask": (n_hp_static, 1)},
+                pack=lambda p: {k: p[k] for k in (
+                    "Q", "R", "P", "M", "X_ref", "U_ref", "U_last",
+                    "hp_points", "hp_normals", "hp_mask")},
+                dyn=lambda x, u: [x[i] + dt * u[i] for i in range(3)],
+                stage=stage, terminal=terminal)
+            alphas = [cfg.alpha_decay ** i for i in range(cfg.n_alpha)]
+            return gf.make_generic_fwd_linesearch(
+                nx=3, nu=3, N=N, u_clamp=(dqlim_np[0], dqlim_np[1]),
+                alphas=alphas, inv_scale=1.0 / cfg.cost_scale, hooks=hooks)
+
         ocp = OCP(nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,
                   stage_cost=stage_cost, terminal_cost=terminal_cost,
                   stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
                   u_lower=jnp.asarray(self.dqlim[0]),
                   u_upper=jnp.asarray(self.dqlim[1]),
                   stage_residuals=stage_residuals,
-                  terminal_residuals=terminal_residuals)
+                  terminal_residuals=terminal_residuals,
+                  lanes_fwd_factory=lanes_fwd_factory)
         super().__init__(ocp, solver_config or SolverConfig())
         self.reset()
 

@@ -112,13 +112,93 @@ class MPCWholeBodyEndpoint(ControllerBase):
             e = pose_ee - p["X_ref"][N]
             return jnp.concatenate([p["P_s"] @ e, slack_res(x, p)])
 
+        n_obs = int(self.obstacles_value.shape[0])
+        ulim_np = self.ulim
+
+        def lanes_fwd_factory(cfg):
+            from mmmpc_tpu.ops import generic_fwd as gf
+            from mmmpc_tpu.ops.wholebody_fwd import _fk_world, _dyn
+            # static python floats/bools — jnp closures would become kernel
+            # tracers under pallas
+            xlo_f = [float(v) for v in np.asarray(x_lo)]
+            xhi_f = [float(v) for v in np.asarray(x_hi)]
+            xmlo_f = [bool(v) for v in np.asarray(x_mlo)]
+            xmhi_f = [bool(v) for v in np.asarray(x_mhi)]
+            dulo_f = [float(v) for v in np.asarray(du_lo)]
+            duhi_f = [float(v) for v in np.asarray(du_hi)]
+            dumlo_f = [bool(v) for v in np.asarray(du_mlo)]
+            dumhi_f = [bool(v) for v in np.asarray(du_mhi)]
+
+            def dyn(x, u):
+                return _dyn(x, u, dt)
+
+            def pose_err(x, sm, row):
+                ee, _, _ = _fk_world(x)
+                return [ee[0] - sm["X_ref"][row, 0],
+                        ee[1] - sm["X_ref"][row, 1],
+                        ee[2] - sm["X_ref"][row, 2],
+                        x[2] - sm["X_ref"][row, 3]]
+
+            def slack_pen(x, sm):
+                if n_obs == 0:
+                    return 0.0
+                gs = gf.ground_circles_t(x[0], x[1], sm["obstacles"], n_obs,
+                                         base_radius)
+                smax = gf.relu_max_t(gs)
+                return sm["S"][0, 0] * smax * smax
+
+            def box_x(x):
+                rows = [(x[i] - xhi_f[i]) if xmhi_f[i] else gf.NEG_BIG
+                        for i in range(9)]
+                rows += [(xlo_f[i] - x[i]) if xmlo_f[i] else gf.NEG_BIG
+                         for i in range(9)]
+                return rows
+
+            def stage(x, u, sm, g):
+                e = pose_err(x, sm, g)
+                eu = [u[i] - sm["U_ref"][g, i] for i in range(5)]
+                edu = [u[i] - sm["U_last"][g, i] for i in range(5)]
+                raw = (gf.qform_t(sm["Q"], e) + gf.qform_t(sm["R"], eu)
+                       + gf.qform_t(sm["W"], edu) + slack_pen(x, sm))
+                gdu = [(edu[i] - duhi_f[i]) if dumhi_f[i] else gf.NEG_BIG
+                       for i in range(5)]
+                gdu += [(dulo_f[i] - edu[i]) if dumlo_f[i]
+                        else gf.NEG_BIG for i in range(5)]
+                return raw, box_x(x) + gdu
+
+            def terminal(x, sm):
+                e = pose_err(x, sm, N)
+                raw = gf.qform_t(sm["P"], e) + slack_pen(x, sm)
+                return raw, box_x(x), []
+
+            def pack(p):
+                out = {k: p[k] for k in ("Q", "R", "P", "S", "W",
+                                         "X_ref", "U_ref", "U_last")}
+                out["obstacles"] = (p["obstacles"] if n_obs
+                                    else jnp.zeros((1, 3)))
+                return out
+
+            hooks = gf.LanesHooks(
+                nc=28, nct=18, ne=0,
+                smem_shapes={"Q": (4, 4), "R": (5, 5), "P": (4, 4),
+                             "S": (1, 1), "W": (5, 5),
+                             "X_ref": (N + 1, 4), "U_ref": (N, 5),
+                             "U_last": (N, 5),
+                             "obstacles": (max(n_obs, 1), 3)},
+                pack=pack, dyn=dyn, stage=stage, terminal=terminal)
+            alphas = [cfg.alpha_decay ** i for i in range(cfg.n_alpha)]
+            return gf.make_generic_fwd_linesearch(
+                nx=9, nu=5, N=N, u_clamp=(ulim_np[0], ulim_np[1]),
+                alphas=alphas, inv_scale=1.0 / cfg.cost_scale, hooks=hooks)
+
         ocp = OCP(nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,
                   stage_cost=stage_cost, terminal_cost=terminal_cost,
                   stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
                   u_lower=jnp.asarray(self.ulim[0]),
                   u_upper=jnp.asarray(self.ulim[1]),
                   stage_residuals=stage_residuals,
-                  terminal_residuals=terminal_residuals)
+                  terminal_residuals=terminal_residuals,
+                  lanes_fwd_factory=lanes_fwd_factory)
         super().__init__(ocp, solver_config or SolverConfig())
         self.reset()
 

@@ -76,6 +76,13 @@ def _al_ilqr_solve_batched_body(ocp: OCP, x0_b, U0_b, params,
     ps_keys = _per_scenario_keys(params)
     use_lanes = (use_kernel and cfg.use_pallas_linesearch
                  and ocp.lanes_fwd_factory is not None)
+    if ps_keys:
+        # per-scenario params ride the lanes path only when BOTH fused
+        # kernels exist (they read the batched arrays directly); a fwd-only
+        # lanes OCP (the generic_fwd controllers) reads U_last from shared
+        # SMEM and would silently use one scenario's values
+        use_lanes = (use_lanes and cfg.use_fused_backward
+                     and ocp.lanes_bwd_factory is not None)
     if not use_kernel or (ps_keys and not use_lanes):
         # vmap fallback; per-scenario params entries map on their trailing
         # (batch-minor) axis

@@ -1,0 +1,157 @@
+"""Parity of the GENERIC fused forward line-search kernel factory
+(ops/generic_fwd.py) against the pure-JAX paths, for every non-flagship
+controller (demo 1-D, base-only, arm-only, wholebody-endpoint).
+
+Same methodology as tests/test_fwd_lanes.py (which covers the hand-fused
+qref kernels): kernels run in pallas interpreter mode on CPU in float32;
+(1) one kernel call == vmapped core.fwd_pass for every candidate, and
+(2) the full batch-minor lanes solve == the plain vmap solver path.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mmmpc_tpu.ops.generic_fwd as gfwd_mod
+import mmmpc_tpu.ops.riccati as ric
+import mmmpc_tpu.solver.batched as batched_mod
+from mmmpc_tpu.controllers import (
+    MPC, MPCBase, MPCManipulator3DoF, MPCWholeBodyEndpoint,
+)
+from mmmpc_tpu.models.obstacles import Obstacles
+from mmmpc_tpu.models.robots import (
+    Base, ManipulatorPanda3DoF, MobileManipulator, RobotDemo,
+)
+from mmmpc_tpu.solver import al_ilqr_solve_batched
+from mmmpc_tpu.solver.al_ilqr import build_core, rollout
+from mmmpc_tpu.utils.configs import SolverConfig
+
+B, N = 1024, 5
+F32 = jnp.float32
+CFG = SolverConfig(al_iters=2, ilqr_iters=4, n_alpha=3, alpha_decay=0.4,
+                   scan_unroll=5)
+
+
+def _asf32(params):
+    return jax.tree.map(lambda a: jnp.asarray(a, F32), params)
+
+
+def make_problem(name):
+    rng = np.random.default_rng(0)
+    if name == "demo":
+        mpc = MPC(RobotDemo(0.1), N=N, solver_config=CFG)
+        x0_b = jnp.asarray(np.stack([rng.uniform(-2, 2, B),
+                                     rng.uniform(-0.9, 0.9, B)], axis=1), F32)
+        traj = np.linspace([0.0, 0.0], [3.0, 0.0], N + 1)
+        params = mpc.make_params(traj, np.zeros((N, 1)))
+    elif name == "base":
+        mpc = MPCBase(Base(0.1), [Obstacles(1.2, 0.15, 0.3)], N=N,
+                      solver_config=CFG)
+        x0_b = jnp.asarray(rng.standard_normal((B, 6)) * np.array(
+            [0.3, 0.3, 0.5, 0.1, 0.1, 0.1]), F32)
+        traj = np.linspace(np.zeros(6), np.array([2.5, 0.3, 0.5, 0, 0, 0]),
+                           N + 1)
+        params = mpc.make_params(traj, np.zeros((N, 2)))
+    elif name == "endpoint":
+        mpc = MPCWholeBodyEndpoint(
+            MobileManipulator(0.1), [Obstacles(1.0, 0.2, 0.3)], N=N,
+            solver_config=CFG)
+        x0 = np.zeros(9)
+        x0[6:] = [-np.pi / 4, -np.pi / 2, np.pi / 2]
+        x0_b = jnp.asarray(
+            x0[None] + 0.05 * rng.standard_normal((B, 9))
+            * np.array([1, 1, 0.5, 0.2, 0.2, 0.2, 0.5, 0.5, 0.5]), F32)
+        traj = np.linspace([0.3, 0.0, 0.9, 0.0], [0.8, 0.2, 1.1, 0.3], N + 1)
+        params = dict(mpc.make_params(traj, np.zeros((N, 5))),
+                      U_last=np.zeros((N, 5)))
+    elif name == "arm":
+        mpc = MPCManipulator3DoF(
+            ManipulatorPanda3DoF(0.1),
+            [np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0])],
+            np.array([0.45, 0.0, 0.55]), N=N, solver_config=CFG)
+        x0 = np.array([0.3, -0.9, 0.8])
+        jit = rng.standard_normal((B, 3)) * 0.2
+        x0_b = jnp.asarray(np.clip(x0[None] + jit, mpc.qlim[0] + 0.01,
+                                   mpc.qlim[1] - 0.01), F32)
+        traj = np.linspace(x0, [0.0, -0.5, 0.5], N + 1)
+        params = dict(mpc.make_params(traj, np.zeros((N, 3))),
+                      U_last=np.zeros((N, 3)))
+    else:  # pragma: no cover
+        raise ValueError(name)
+    nu = mpc.NU
+    U0_b = jnp.asarray(0.1 * rng.standard_normal((B, N, nu)), F32)
+    return mpc, x0_b, U0_b, _asf32(params)
+
+
+@pytest.mark.parametrize("name", ["demo", "base", "endpoint", "arm"])
+def test_generic_fwd_matches_fwd_pass(name, monkeypatch):
+    """One generic-kernel call == vmapped core.fwd_pass per candidate."""
+    monkeypatch.setattr(gfwd_mod, "INTERPRET", True)
+    mpc, x0_b, U0_b, params = make_problem(name)
+    ocp, cfg = mpc.ocp, CFG
+    core = build_core(ocp, params, cfg, F32)
+    nx, nu = ocp.nx, ocp.nu
+    rng = np.random.default_rng(11)
+
+    X_b, Uc_b = jax.vmap(lambda x0, U: rollout(ocp, x0, U, params))(
+        x0_b, U0_b)
+    kffs = jnp.asarray(0.05 * rng.standard_normal((B, N, nu)), F32)
+    Ks = jnp.asarray(0.05 * rng.standard_normal((B, N, nu, nx)), F32)
+    lam = jnp.asarray(np.abs(rng.standard_normal((B, N, core.nc))), F32)
+    lam_t = jnp.asarray(np.abs(rng.standard_normal((B, core.nct))), F32)
+    lam_e = jnp.zeros((B, core.ne), F32)
+    mu = jnp.asarray(10.0, F32)
+    alphas = cfg.alpha_decay ** jnp.arange(cfg.n_alpha, dtype=F32)
+
+    fwd_b = jax.vmap(core.fwd_pass, in_axes=(0, 0, 0, 0, 0, None, 0, None))
+    Xr, Ur, cr = jax.vmap(
+        lambda a: fwd_b(X_b[:, 0], X_b, Uc_b, kffs, Ks, a,
+                        (lam, lam_t, lam_e), mu))(alphas)
+
+    fwd_ls = ocp.lanes_fwd_factory(cfg)
+    assert getattr(fwd_ls, "includes_terminal", False)
+    bm = lambda a, perm: jnp.transpose(a, perm)
+    Xc, Uc, xlast, cc_tot = fwd_ls(
+        bm(X_b[:, :-1], (1, 2, 0)), bm(Uc_b, (1, 2, 0)),
+        bm(kffs, (1, 2, 0)), bm(Ks, (1, 2, 3, 0)),
+        bm(lam, (1, 2, 0)), lam_t.T, lam_e.T, mu, params)
+
+    Xk = np.transpose(np.asarray(Xc), (1, 3, 0, 2))
+    Uk = np.transpose(np.asarray(Uc), (1, 3, 0, 2))
+    xl = np.transpose(np.asarray(xlast), (0, 2, 1))
+
+    np.testing.assert_allclose(Xk, np.asarray(Xr[:, :, :-1]), atol=2e-5)
+    np.testing.assert_allclose(xl, np.asarray(Xr[:, :, -1]), atol=2e-5)
+    np.testing.assert_allclose(Uk, np.asarray(Ur), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cc_tot), np.asarray(cr),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("name", ["demo", "base", "endpoint", "arm"])
+def test_generic_lanes_solve_matches_vmap(name, monkeypatch):
+    """Full batch-minor generic-lanes solve vs the plain vmap solver."""
+    monkeypatch.setattr(gfwd_mod, "INTERPRET", True)
+    monkeypatch.setattr(ric, "INTERPRET", True)
+    monkeypatch.setattr(batched_mod.jax, "default_backend", lambda: "tpu")
+    mpc, x0_b, U0_b, params = make_problem(name)
+
+    res_lanes = al_ilqr_solve_batched(mpc.ocp, x0_b, U0_b, params, CFG)
+    cfg_vmap = dataclasses.replace(CFG, use_pallas_riccati=False)
+    res_ref = al_ilqr_solve_batched(mpc.ocp, x0_b, U0_b, params, cfg_vmap)
+
+    # identical solution quality everywhere (cost/violation); the controls
+    # agree to 5e-3 on >=98% of scenarios — a handful of f32 line-search
+    # tie-breaks walk a marginally different iterate path to the same basin
+    np.testing.assert_allclose(np.asarray(res_lanes.cost),
+                               np.asarray(res_ref.cost),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(res_lanes.max_violation),
+                               np.asarray(res_ref.max_violation),
+                               atol=1e-3)
+    dU = np.abs(np.asarray(res_lanes.U)
+                - np.asarray(res_ref.U)).max(axis=(1, 2))
+    assert (dU < 5e-3).mean() > 0.98, (dU.mean(), dU.max())
+    assert dU.max() < 5e-2
