@@ -52,6 +52,30 @@ class MPC(ControllerBase):
         def terminal_residuals(x, p):
             return p["P_s"] @ (x - p["X_ref"][N])
 
+        # structured AL expansion (see wholebody_qref.py): everything is
+        # quadratic/diagonal here, so no AD at all in the solver hot loop
+        def stage_al_expansion(x, u, k, p, lam_k, mu, inv_scale):
+            two_s = 2.0 * inv_scale
+            gx = two_s * (p["Q"] @ (x - p["X_ref"][k]))
+            gu = two_s * (p["R"] @ (u - p["U_ref"][k]))
+            Hxx = two_s * p["Q"]
+            Huu = two_s * p["R"]
+            Hux = jnp.zeros((1, 2), x.dtype)
+            t = jnp.maximum(0.0, lam_k + mu * stage_ineq(x, u, k, p))
+            act = (t > 0).astype(x.dtype)
+            gx = gx.at[1].add(t[0] - t[1])
+            Hxx = Hxx.at[1, 1].add(mu * (act[0] + act[1]))
+            return gx, gu, Hxx, Huu, Hux
+
+        def terminal_al_expansion(x, p, lam_t, lam_e, mu, inv_scale):
+            two_s = 2.0 * inv_scale
+            return (two_s * (p["P"] @ (x - p["X_ref"][N])), two_s * p["P"])
+
+        def dynamics_jacobians(x, u):
+            A = jnp.asarray([[1.0, dt], [0.0, 1.0]], x.dtype)
+            B = jnp.asarray([[0.0], [dt]], x.dtype)
+            return A, B
+
         def lanes_fwd_factory(cfg):
             from mmmpc_tpu.ops import generic_fwd as gf
             vlo, vhi = float(vlim[0]), float(vlim[1])
@@ -87,6 +111,9 @@ class MPC(ControllerBase):
                   u_upper=jnp.asarray([float(alim[1])]),
                   stage_residuals=stage_residuals,
                   terminal_residuals=terminal_residuals,
+                  dynamics_jacobians=dynamics_jacobians,
+                  stage_al_expansion=stage_al_expansion,
+                  terminal_al_expansion=terminal_al_expansion,
                   lanes_fwd_factory=lanes_fwd_factory)
         super().__init__(ocp, solver_config or SolverConfig())
         self.reset()

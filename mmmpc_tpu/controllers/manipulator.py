@@ -152,6 +152,83 @@ class MPCManipulator3DoF(ControllerBase):
             e = state_error(q, p["X_ref"][N])
             return jnp.concatenate([p["P_s"] @ e, slack_res(q, p)])
 
+        # ---- fully-structured AL expansion (see wholebody_qref.py): the
+        # joint-space tracking JtJ is the weight matrix (Cartesian mode runs
+        # one forward FK Jacobian instead), the wedge-obstacle slack is a
+        # rank-1 term from a single reverse-mode pass, boxes are diagonal
+        # updates, and the four hard self-collision rows contribute a small
+        # (3x4x3) Gauss-Newton product through their FK Jacobian.
+        import jax as _jax
+
+        if cartesian:
+            def _track(q, ref):
+                e = arm_fk(q)[0] - ref
+                Je = _jax.jacfwd(lambda qq: arm_fk(qq)[0])(q)
+                return e, Je
+        else:
+            def _track(q, ref):
+                return q - ref, jnp.eye(3, dtype=q.dtype)
+
+        def _slack_vg(q, p):
+            def f(qq):
+                ee, j2, j3 = arm_fk(qq)
+                pts = manipulator_sample_points(ee, j2, j3)
+                return relu_max(halfplane_union_g(
+                    pts, p["hp_points"], p["hp_normals"], p["hp_mask"],
+                    expand=0.0))
+            return _jax.value_and_grad(f)(q)
+
+        def _selfcol_jac(q):
+            return _jax.jacfwd(selfcol)(q)            # (4, 3)
+
+        def stage_al_expansion(q, dq, k, p, lam_k, mu, inv_scale):
+            e, Je = _track(q, p["X_ref"][k])
+            eu = dq - p["U_ref"][k]
+            edu = dq - p["U_last"][k]
+            smax, sq = _slack_vg(q, p)
+            two_s = 2.0 * inv_scale
+            gq = two_s * (Je.T @ (p["Q"] @ e) + SLACK_WEIGHT * smax * sq)
+            gu = two_s * (p["R"] @ eu + p["M"] @ edu)
+            Hqq = two_s * (Je.T @ p["Q"] @ Je
+                           + SLACK_WEIGHT * jnp.outer(sq, sq))
+            Huu = two_s * (p["R"] + p["M"])
+            Hux = jnp.zeros((3, 3), q.dtype)
+
+            # ineq rows: [q_hi(3), q_lo(3), dd_hi(3), dd_lo(3), selfcol(4)]
+            c = stage_ineq(q, dq, k, p)
+            t = jnp.maximum(0.0, lam_k + mu * c)
+            act = (t > 0).astype(q.dtype)
+            gq = gq + (t[0:3] - t[3:6])
+            gu = gu + (t[6:9] - t[9:12])
+            Hqq = Hqq + jnp.diag(mu * (act[0:3] + act[3:6]))
+            Huu = Huu + jnp.diag(mu * (act[6:9] + act[9:12]))
+            Jsc = _selfcol_jac(q)
+            gq = gq + Jsc.T @ t[12:16]
+            Hqq = Hqq + mu * (Jsc.T * act[12:16][None, :]) @ Jsc
+            return gq, gu, Hqq, Huu, Hux
+
+        def terminal_al_expansion(q, p, lam_t, lam_e, mu, inv_scale):
+            e, Je = _track(q, p["X_ref"][N])
+            smax, sq = _slack_vg(q, p)
+            two_s = 2.0 * inv_scale
+            gq = two_s * (Je.T @ (p["P"] @ e) + SLACK_WEIGHT * smax * sq)
+            Hqq = two_s * (Je.T @ p["P"] @ Je
+                           + SLACK_WEIGHT * jnp.outer(sq, sq))
+            # terminal rows: [q_hi(3), q_lo(3), selfcol(4)]
+            c = terminal_ineq(q, p)
+            t = jnp.maximum(0.0, lam_t + mu * c)
+            act = (t > 0).astype(q.dtype)
+            gq = gq + (t[0:3] - t[3:6])
+            Hqq = Hqq + jnp.diag(mu * (act[0:3] + act[3:6]))
+            Jsc = _selfcol_jac(q)
+            gq = gq + Jsc.T @ t[6:10]
+            Hqq = Hqq + mu * (Jsc.T * act[6:10][None, :]) @ Jsc
+            return gq, Hqq
+
+        def dynamics_jacobians(q, dq):
+            eye = jnp.eye(3, dtype=q.dtype)
+            return eye, jnp.asarray(dt, q.dtype) * eye
+
         n_hp_static = int(self.hp_mask_value.shape[0])
         dqlim_np = self.dqlim
 
@@ -227,6 +304,9 @@ class MPCManipulator3DoF(ControllerBase):
                   u_upper=jnp.asarray(self.dqlim[1]),
                   stage_residuals=stage_residuals,
                   terminal_residuals=terminal_residuals,
+                  dynamics_jacobians=dynamics_jacobians,
+                  stage_al_expansion=stage_al_expansion,
+                  terminal_al_expansion=terminal_al_expansion,
                   lanes_fwd_factory=lanes_fwd_factory)
         super().__init__(ocp, solver_config or SolverConfig())
         self.reset()

@@ -112,6 +112,65 @@ class MPCWholeBodyEndpoint(ControllerBase):
             e = pose_ee - p["X_ref"][N]
             return jnp.concatenate([p["P_s"] @ e, slack_res(x, p)])
 
+        # ---- fully-structured AL expansion (see wholebody_qref.py): the
+        # end-point pose tracking runs one forward FK Jacobian (4x9) per
+        # stage — its Gauss-Newton block is Jp^T Q Jp — the ground-obstacle
+        # slack is a rank-1 term, and all hard rows are boxes (pure diagonal
+        # updates; masked rows self-deactivate through the PHR max).
+        import jax as _jax
+
+        nxl, nul = self.NX, self.NU
+        _pose = lambda x: wholebody_fk(x)[0]                  # noqa: E731
+
+        def _slack_vg(x, p):
+            return _jax.value_and_grad(lambda xx: relu_max(ground_circle_g(
+                xx[0], xx[1], p["obstacles"], base_radius)))(x)
+
+        def stage_al_expansion(x, u, k, p, lam_k, mu, inv_scale):
+            e = _pose(x) - p["X_ref"][k]
+            Jp = _jax.jacfwd(_pose)(x)                        # (4, 9)
+            eu = u - p["U_ref"][k]
+            edu = u - p["U_last"][k]
+            smax, sx = _slack_vg(x, p)
+            S = p["S"]
+            two_s = 2.0 * inv_scale
+            gx = two_s * (Jp.T @ (p["Q"] @ e) + S * smax * sx)
+            gu = two_s * (p["R"] @ eu + p["W"] @ edu)
+            Hxx = two_s * (Jp.T @ p["Q"] @ Jp + S * jnp.outer(sx, sx))
+            Huu = two_s * (p["R"] + p["W"])
+            Hux = jnp.zeros((nul, nxl), x.dtype)
+
+            # rows: [x_hi(9), x_lo(9), du_hi(5), du_lo(5)]
+            c = stage_ineq(x, u, k, p)
+            t = jnp.maximum(0.0, lam_k + mu * c)
+            act = (t > 0).astype(x.dtype)
+            gx = gx + (t[:nxl] - t[nxl:2 * nxl])
+            gu = gu + (t[2 * nxl:2 * nxl + nul] - t[2 * nxl + nul:])
+            Hxx = Hxx + jnp.diag(mu * (act[:nxl] + act[nxl:2 * nxl]))
+            Huu = Huu + jnp.diag(
+                mu * (act[2 * nxl:2 * nxl + nul] + act[2 * nxl + nul:]))
+            return gx, gu, Hxx, Huu, Hux
+
+        def terminal_al_expansion(x, p, lam_t, lam_e, mu, inv_scale):
+            e = _pose(x) - p["X_ref"][N]
+            Jp = _jax.jacfwd(_pose)(x)
+            smax, sx = _slack_vg(x, p)
+            S = p["S"]
+            two_s = 2.0 * inv_scale
+            gx = two_s * (Jp.T @ (p["P"] @ e) + S * smax * sx)
+            Hxx = two_s * (Jp.T @ p["P"] @ Jp + S * jnp.outer(sx, sx))
+            t = jnp.maximum(0.0, lam_t + mu * terminal_ineq(x, p))
+            act = (t > 0).astype(x.dtype)
+            gx = gx + (t[:nxl] - t[nxl:])
+            Hxx = Hxx + jnp.diag(mu * (act[:nxl] + act[nxl:]))
+            return gx, Hxx
+
+        def dynamics_jacobians(x, u):
+            from mmmpc_tpu.models.mobile_manipulator import (
+                wholebody_jacobians,
+            )
+            return wholebody_jacobians(x, u, dt)
+
         n_obs = int(self.obstacles_value.shape[0])
         ulim_np = self.ulim
 
@@ -198,6 +257,9 @@ class MPCWholeBodyEndpoint(ControllerBase):
                   u_upper=jnp.asarray(self.ulim[1]),
                   stage_residuals=stage_residuals,
                   terminal_residuals=terminal_residuals,
+                  dynamics_jacobians=dynamics_jacobians,
+                  stage_al_expansion=stage_al_expansion,
+                  terminal_al_expansion=terminal_al_expansion,
                   lanes_fwd_factory=lanes_fwd_factory)
         super().__init__(ocp, solver_config or SolverConfig())
         self.reset()

@@ -157,7 +157,10 @@ def main():
     print(f"device={jax.devices()[0]} batch={batch} horizon={N} "
           f"schedule={CFG.al_iters}x({CFG.ilqr_iters},{CFG.ilqr_iters_later})",
           file=sys.stderr)
+    names = set(sys.argv[2:])
     for name, mpc, x0_b, params in problems(batch):
+        if names and name not in names:
+            continue
         row = bench_one(name, mpc, x0_b, params)
         print(json.dumps(row), flush=True)
 

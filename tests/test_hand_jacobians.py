@@ -101,6 +101,150 @@ def test_solver_paths_agree():
                                rtol=1e-8)
 
 
+def _al_expansion_ad_reference(ocp, x, u, k, params, lam_k, mu):
+    """Gradient + GN Hessian of the scaled AL stage cost built purely with
+    AD from the OCP's residual/constraint functions (the stage_derivs_gn
+    construction) — the oracle for every structured stage_al_expansion."""
+    nx = ocp.nx
+    z = jnp.concatenate([x, u])
+
+    def rz(zz):
+        return ocp.stage_residuals(zz[:nx], zz[nx:], k, params)
+
+    r = rz(z)
+    J = jax.jacfwd(rz)(z)
+    c = ocp.stage_ineq(x, u, k, params)
+    Jc = jax.jacfwd(lambda zz: ocp.stage_ineq(zz[:nx], zz[nx:], k, params))(z)
+    t = jnp.maximum(0.0, lam_k + mu * c)
+    act = (t > 0).astype(x.dtype)
+    g = 2.0 * (J.T @ r) + Jc.T @ t
+    H = 2.0 * (J.T @ J) + mu * (Jc.T * act[None, :]) @ Jc
+    return g, H
+
+
+def _terminal_al_expansion_ad_reference(ocp, x, params, lam_t, lam_e, mu):
+    r = ocp.terminal_residuals(x, params)
+    J = jax.jacfwd(lambda xx: ocp.terminal_residuals(xx, params))(x)
+    c = ocp.terminal_ineq(x, params)
+    Jc = jax.jacfwd(lambda xx: ocp.terminal_ineq(xx, params))(x)
+    t = jnp.maximum(0.0, lam_t + mu * c)
+    act = (t > 0).astype(x.dtype)
+    g = 2.0 * (J.T @ r) + Jc.T @ t
+    H = 2.0 * (J.T @ J) + mu * (Jc.T * act[None, :]) @ Jc
+    ne = lam_e.shape[0]
+    if ne:
+        h = ocp.terminal_eq(x, params)
+        Jh = jax.jacfwd(lambda xx: ocp.terminal_eq(xx, params))(x)
+        g = g + Jh.T @ (lam_e + mu * h)
+        H = H + mu * (Jh.T @ Jh)
+    return g, H
+
+
+def _generic_problems():
+    """(name, mpc, x0, params) for every controller with a structured AL
+    expansion but no hand residual-Jacobian path."""
+    import mmmpc_tpu.controllers as C
+    from mmmpc_tpu.models.obstacles import Obstacles
+    from mmmpc_tpu.models.robots import Base, ManipulatorPanda3DoF, RobotDemo
+
+    N = 6
+    rng = np.random.default_rng(11)
+    out = []
+
+    mpc = C.MPC(RobotDemo(0.1), N=N)
+    traj = np.stack([np.linspace(0, 1, N + 1), np.zeros(N + 1)], axis=1)
+    p = dict(mpc.make_params(traj, np.zeros((N, 1))),
+             U_last=jnp.zeros((N, 1)))
+    out.append(("demo", mpc, np.array([0.0, 0.9]), p))
+
+    mpc = C.MPCBase(Base(0.1), [Obstacles(1.2, 0.1, 0.3)], N=N)
+    traj = np.linspace(np.zeros(6), np.array([2.5, 0, 0.4, 0, 0, 0]), N + 1)
+    p = dict(mpc.make_params(traj, np.zeros((N, 2))),
+             U_last=jnp.zeros((N, 2)))
+    out.append(("base", mpc, np.array([1.0, 0.2, 0.3, 1.9, 0.1, 0.2]), p))
+
+    sc = make_scenario(2, N=N)
+    for cartesian in (False, True):
+        mpc = C.MPCManipulator3DoF(
+            ManipulatorPanda3DoF(0.1), list(sc.hp_normals),
+            sc.hp_points[0], N=N, is_cartesian_ref=cartesian)
+        nref = 3
+        traj = np.linspace([0.1, -0.5, 0.6][:nref],
+                           [0.4, -1.2, 1.1][:nref], N + 1)
+        p = dict(mpc.make_params(traj, np.zeros((N, 3))),
+                 U_last=jnp.asarray(RNG.normal(size=(N, 3)) * 0.1))
+        out.append((f"arm_cart{cartesian}", mpc,
+                    np.array([0.2, -0.8, 0.9]), p))
+
+    robot = MobileManipulator(0.1)
+    obs = [Obstacles(2.5, 3.0, 0.6), Obstacles(2.5, 1.0, 0.6)]
+    mpc = C.MPCWholeBodyEndpoint(robot, obs, N=N)
+    traj = np.linspace([1.0, 1.0, 1.2, 0.0], [2.0, 2.0, 1.0, 0.5], N + 1)
+    p = dict(mpc.make_params(traj, np.zeros((N, 5))),
+             U_last=jnp.asarray(rng.normal(size=(N, 5)) * 0.1))
+    x0 = np.array([1.0, 1.2, 0.4, 0.5, 0.1, 0.1,
+                   -np.pi / 4, -np.pi / 2, np.pi / 2])
+    out.append(("endpoint", mpc, x0, p))
+    return out
+
+
+def test_generic_al_expansions_match_ad():
+    """Every generic controller's structured AL expansion must equal the
+    AD-built Gauss-Newton expansion of the same AL stage cost, and its
+    closed-form dynamics Jacobians must match jacfwd."""
+    mu = 35.0
+    rng = np.random.default_rng(3)
+    for name, mpc, x0, params in _generic_problems():
+        ocp = mpc.ocp
+        from mmmpc_tpu.controllers.common import constraint_dims
+        nc, nct, ne = constraint_dims(ocp, params, jnp.float64)
+        for trial in range(3):
+            x = jnp.asarray(x0 + rng.normal(size=ocp.nx) * 0.05)
+            u = jnp.asarray(rng.normal(size=ocp.nu) * 0.3)
+            k = int(rng.integers(0, ocp.N))
+            lam_k = jnp.asarray(np.abs(rng.normal(size=nc)) * 2.0)
+
+            g_ref, H_ref = _al_expansion_ad_reference(
+                ocp, x, u, k, params, lam_k, mu)
+            lx, lu, lxx, luu, lux = ocp.stage_al_expansion(
+                x, u, k, params, lam_k, mu, 1.0)
+            nx = ocp.nx
+            err = f"{name} stage trial {trial}"
+            np.testing.assert_allclose(np.asarray(lx), np.asarray(g_ref[:nx]),
+                                       rtol=1e-8, atol=1e-8, err_msg=err)
+            np.testing.assert_allclose(np.asarray(lu), np.asarray(g_ref[nx:]),
+                                       rtol=1e-8, atol=1e-8, err_msg=err)
+            np.testing.assert_allclose(
+                np.asarray(lxx), np.asarray(H_ref[:nx, :nx]),
+                rtol=1e-8, atol=1e-8, err_msg=err)
+            np.testing.assert_allclose(
+                np.asarray(luu), np.asarray(H_ref[nx:, nx:]),
+                rtol=1e-8, atol=1e-8, err_msg=err)
+            np.testing.assert_allclose(
+                np.asarray(lux), np.asarray(H_ref[nx:, :nx]),
+                rtol=1e-8, atol=1e-8, err_msg=err)
+
+            lam_t = jnp.asarray(np.abs(rng.normal(size=nct)) * 2.0)
+            lam_e = jnp.asarray(rng.normal(size=ne))
+            g_ref, H_ref = _terminal_al_expansion_ad_reference(
+                ocp, x, params, lam_t, lam_e, mu)
+            gx, Hxx = ocp.terminal_al_expansion(x, params, lam_t, lam_e,
+                                                mu, 1.0)
+            err = f"{name} terminal trial {trial}"
+            np.testing.assert_allclose(np.asarray(gx), np.asarray(g_ref),
+                                       rtol=1e-8, atol=1e-8, err_msg=err)
+            np.testing.assert_allclose(np.asarray(Hxx), np.asarray(H_ref),
+                                       rtol=1e-8, atol=1e-8, err_msg=err)
+
+            A, B = ocp.dynamics_jacobians(x, u)
+            A_ad = jax.jacfwd(lambda xx: ocp.dynamics(xx, u))(x)
+            B_ad = jax.jacfwd(lambda uu: ocp.dynamics(x, uu))(u)
+            np.testing.assert_allclose(np.asarray(A), np.asarray(A_ad),
+                                       atol=1e-12, err_msg=name)
+            np.testing.assert_allclose(np.asarray(B), np.asarray(B_ad),
+                                       atol=1e-12, err_msg=name)
+
+
 def test_al_expansion_matches_hand_path():
     """The fully-structured AL expansion must equal the residual-Jacobian
     hand path (same gradient and GN Hessian blocks)."""
