@@ -31,10 +31,12 @@ from mmmpc_tpu.parallel import controller_batched_fn
 from mmmpc_tpu.utils.configs import SolverConfig, make_scenario
 
 N = 20
-# 4096 amortizes the per-iteration fixed costs (kernel launches, selection)
-# over 4 lane-tile blocks: 41.7k -> 54.1k solves/s vs batch 1024, still 100%
-# converged.  Per-chip batch is held constant when sharding over a mesh.
-BATCH = 4096
+# Batch amortizes the per-iteration fixed costs (kernel launches, selection)
+# over lane-tile blocks; measured on the v5e: 113.5k @ 4096 / 120.8k @ 8192 /
+# 118.2k @ 16384 solves/s, all 100% converged — 8 lane-tile blocks is the
+# sweet spot (beyond that the working set starts spilling toward HBM).
+# Per-chip batch is held constant when sharding over a mesh.
+BATCH = 8192
 # sustained throughput: enough pipelined repetitions that the per-dispatch
 # host->device tunnel overhead (~0.7 ms/call through axon) amortizes
 REPS = 10
