@@ -20,7 +20,9 @@ from mmmpc_tpu.controllers.common import (
     ControllerBase, as_weight_matrix, finite_bound_masks, scalar_weight,
     weight_sqrt,
 )
-from mmmpc_tpu.models.mobile_manipulator import wholebody_fk, wholebody_step
+from mmmpc_tpu.models.mobile_manipulator import (
+    wholebody_fk, wholebody_pose_jacobian, wholebody_step,
+)
 from mmmpc_tpu.models.obstacles import ground_obstacle_array
 from mmmpc_tpu.ocp import OCP
 from mmmpc_tpu.ocp.constraints import box_g, ground_circle_g, relu_max, relu_max_penalty
@@ -128,7 +130,7 @@ class MPCWholeBodyEndpoint(ControllerBase):
 
         def stage_al_expansion(x, u, k, p, lam_k, mu, inv_scale):
             e = _pose(x) - p["X_ref"][k]
-            Jp = _jax.jacfwd(_pose)(x)                        # (4, 9)
+            Jp = wholebody_pose_jacobian(x)                   # (4, 9)
             eu = u - p["U_ref"][k]
             edu = u - p["U_last"][k]
             smax, sx = _slack_vg(x, p)
@@ -153,7 +155,7 @@ class MPCWholeBodyEndpoint(ControllerBase):
 
         def terminal_al_expansion(x, p, lam_t, lam_e, mu, inv_scale):
             e = _pose(x) - p["X_ref"][N]
-            Jp = _jax.jacfwd(_pose)(x)
+            Jp = wholebody_pose_jacobian(x)
             smax, sx = _slack_vg(x, p)
             S = p["S"]
             two_s = 2.0 * inv_scale
@@ -250,6 +252,168 @@ class MPCWholeBodyEndpoint(ControllerBase):
                 nx=9, nu=5, N=N, u_clamp=(ulim_np[0], ulim_np[1]),
                 alphas=alphas, inv_scale=1.0 / cfg.cost_scale, hooks=hooks)
 
+        def lanes_bwd_factory(cfg):
+            from mmmpc_tpu.ops import generic_bwd as gb
+            from mmmpc_tpu.ops.wholebody_bwd import (
+                _add, _dot, _fk_partials, _mul, _relu_max_grad,
+            )
+            two_s = 2.0 / cfg.cost_scale
+            dt_f = float(dt)
+            xlo_f = [float(v) for v in np.asarray(x_lo)]
+            xhi_f = [float(v) for v in np.asarray(x_hi)]
+            xmlo_f = [bool(v) for v in np.asarray(x_mlo)]
+            xmhi_f = [bool(v) for v in np.asarray(x_mhi)]
+            dulo_f = [float(v) for v in np.asarray(du_lo)]
+            duhi_f = [float(v) for v in np.asarray(du_hi)]
+            dumlo_f = [bool(v) for v in np.asarray(du_mlo)]
+            dumhi_f = [bool(v) for v in np.asarray(du_mhi)]
+
+            def dyn_jac(x, u, sm, k):
+                # sparse closed form (models/mobile_manipulator.py:56-84)
+                cpsi, spsi = jnp.cos(x[2]), jnp.sin(x[2])
+                A = [[1.0 if i == j else 0.0 for j in range(9)]
+                     for i in range(9)]
+                A[0][3] = dt_f
+                A[1][4] = dt_f
+                A[2][5] = dt_f
+                A[3][2] = -dt_f * u[0] * spsi
+                A[3][4] = -dt_f * x[5]
+                A[3][5] = -dt_f * x[4]
+                A[4][2] = dt_f * u[0] * cpsi
+                A[4][3] = dt_f * x[5]
+                A[4][5] = dt_f * x[3]
+                Bm = [[0.0] * 5 for _ in range(9)]
+                Bm[3][0] = dt_f * cpsi
+                Bm[4][0] = dt_f * spsi
+                Bm[5][1] = dt_f
+                Bm[6][2] = dt_f
+                Bm[7][3] = dt_f
+                Bm[8][4] = dt_f
+                return A, Bm
+
+            def slack_grads(x, sm):
+                # relu(max ground circles) with even tie-splitting (matches
+                # _slack_vg's value_and_grad semantics)
+                if n_obs == 0:
+                    return 0.0, [0.0] * 9
+                vals, grads = [], []
+                for o in range(n_obs):
+                    dx0 = x[0] - sm["obstacles"][o, 0]
+                    dy0 = x[1] - sm["obstacles"][o, 1]
+                    d = jnp.sqrt(dx0 * dx0 + dy0 * dy0 + 1e-9)
+                    vals.append((sm["obstacles"][o, 2] + base_radius) - d)
+                    inv = 1.0 / d
+                    grads.append([-dx0 * inv, -dy0 * inv,
+                                  0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+                return _relu_max_grad(vals, grads, 9)
+
+            def pose_model(x, sm, row):
+                fk = _fk_partials(x)
+                e = [fk["ee"][0] - sm["X_ref"][row, 0],
+                     fk["ee"][1] - sm["X_ref"][row, 1],
+                     fk["ee"][2] - sm["X_ref"][row, 2],
+                     x[2] - sm["X_ref"][row, 3]]
+                cp, sp = fk["cp"], fk["sp"]
+                Jp = [
+                    [1.0, 0.0, -fk["re"] * sp, 0.0, 0.0, 0.0,
+                     cp * fk["axe_q"][0], cp * fk["axe_q"][1],
+                     cp * fk["axe_q"][2]],
+                    [0.0, 1.0, fk["re"] * cp, 0.0, 0.0, 0.0,
+                     sp * fk["axe_q"][0], sp * fk["axe_q"][1],
+                     sp * fk["axe_q"][2]],
+                    [0.0] * 6 + [fk["aze_q"][0], fk["aze_q"][1],
+                                 fk["aze_q"][2]],
+                    [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+                ]
+                return e, Jp
+
+            def tracking_blocks(x, sm, row, Wt):
+                """two_s * (Jp^T Wt e + S smax sx) and its GN Hessian."""
+                e, Jp = pose_model(x, sm, row)
+                smax, sx = slack_grads(x, sm)
+                S = sm["S"][0, 0]
+                Ssm = S * smax
+                We = [_dot([Wt[j, l] for l in range(4)], e)
+                      for j in range(4)]
+                WJp = [[_dot([Wt[p, l] for l in range(4)],
+                             [Jp[l][j] for l in range(4)])
+                        for j in range(9)] for p in range(4)]
+                gx = [_mul(two_s,
+                           _add(_dot([Jp[p][i] for p in range(4)], We),
+                                _mul(Ssm, sx[i]))) for i in range(9)]
+                Hxx = [[_mul(two_s,
+                             _add(_dot([Jp[p][i] for p in range(4)],
+                                       [WJp[p][j] for p in range(4)]),
+                                  _mul(S, _mul(sx[i], sx[j]))))
+                        for j in range(9)] for i in range(9)]
+                return gx, Hxx
+
+            def box_rows_x(x):
+                rows = []
+                for i in range(9):
+                    if xmhi_f[i]:
+                        gx_c = [0.0] * 9
+                        gx_c[i] = 1.0
+                        rows.append((x[i] - xhi_f[i], gx_c))
+                    else:
+                        rows.append((gb.NEG_BIG, [0.0] * 9))
+                for i in range(9):
+                    if xmlo_f[i]:
+                        gx_c = [0.0] * 9
+                        gx_c[i] = -1.0
+                        rows.append((xlo_f[i] - x[i], gx_c))
+                    else:
+                        rows.append((gb.NEG_BIG, [0.0] * 9))
+                return rows
+
+            def stage_quad(x, u, sm, k):
+                lx, lxx = tracking_blocks(x, sm, k, sm["Q"])
+                eu = [u[i] - sm["U_ref"][k, i] for i in range(5)]
+                edu = [u[i] - sm["U_last"][k, i] for i in range(5)]
+                lu = [_mul(two_s,
+                           _add(_dot([sm["R"][i, j] for j in range(5)], eu),
+                                _dot([sm["W"][i, j] for j in range(5)],
+                                     edu))) for i in range(5)]
+                luu = [[two_s * (sm["R"][i, j] + sm["W"][i, j])
+                        for j in range(5)] for i in range(5)]
+                lux = [[0.0] * 9 for _ in range(5)]
+                cons = [(v, gx_c, [0.0] * 5) for v, gx_c in box_rows_x(x)]
+                for i in range(5):
+                    gu_c = [0.0] * 5
+                    gu_c[i] = 1.0
+                    cons.append((edu[i] - duhi_f[i], [0.0] * 9, gu_c)
+                                if dumhi_f[i]
+                                else (gb.NEG_BIG, [0.0] * 9, [0.0] * 5))
+                for i in range(5):
+                    gu_c = [0.0] * 5
+                    gu_c[i] = -1.0
+                    cons.append((dulo_f[i] - edu[i], [0.0] * 9, gu_c)
+                                if dumlo_f[i]
+                                else (gb.NEG_BIG, [0.0] * 9, [0.0] * 5))
+                return lx, lu, lxx, luu, lux, cons
+
+            def term_quad(x, sm):
+                gx, Hxx = tracking_blocks(x, sm, N, sm["P"])
+                return gx, Hxx, box_rows_x(x), []
+
+            def pack(p):
+                out = {k: p[k] for k in ("Q", "R", "P", "S", "W",
+                                         "X_ref", "U_ref", "U_last")}
+                out["obstacles"] = (p["obstacles"] if n_obs
+                                    else jnp.zeros((1, 3)))
+                return out
+
+            hooks = gb.BwdHooks(
+                nc=28, nct=18, ne=0,
+                smem_shapes={"Q": (4, 4), "R": (5, 5), "P": (4, 4),
+                             "S": (1, 1), "W": (5, 5),
+                             "X_ref": (N + 1, 4), "U_ref": (N, 5),
+                             "U_last": (N, 5),
+                             "obstacles": (max(n_obs, 1), 3)},
+                pack=pack, dyn_jac=dyn_jac, stage_quad=stage_quad,
+                term_quad=term_quad)
+            return gb.make_generic_bwd_fused(nx=9, nu=5, N=N, hooks=hooks)
+
         ocp = OCP(nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,
                   stage_cost=stage_cost, terminal_cost=terminal_cost,
                   stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
@@ -260,7 +424,8 @@ class MPCWholeBodyEndpoint(ControllerBase):
                   dynamics_jacobians=dynamics_jacobians,
                   stage_al_expansion=stage_al_expansion,
                   terminal_al_expansion=terminal_al_expansion,
-                  lanes_fwd_factory=lanes_fwd_factory)
+                  lanes_fwd_factory=lanes_fwd_factory,
+                  lanes_bwd_factory=lanes_bwd_factory)
         super().__init__(ocp, solver_config or SolverConfig())
         self.reset()
 

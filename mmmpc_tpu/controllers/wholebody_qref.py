@@ -373,6 +373,7 @@ class MPCWholeBody(ControllerBase):
             nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,
             lanes_fwd_factory=lanes_fwd_factory,
             lanes_bwd_factory=lanes_bwd_factory,
+            lanes_per_scenario_u_last=True,
             stage_cost=stage_cost, terminal_cost=terminal_cost,
             stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
             terminal_eq=terminal_eq,

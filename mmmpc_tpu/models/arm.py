@@ -98,13 +98,36 @@ def arm_step(q, dq, dt):
 
 
 def ee_jacobian(q):
-    """3x3 Jacobian of the end-point position w.r.t. q.
+    """3x3 Jacobian of the end-point position w.r.t. q, in closed form.
 
     Replaces the reference's hand-pasted analytic `_get_xdot`
-    (manipulator_3DoF.py:135-187) with jax.jacfwd on the closed-form FK —
-    exact to machine precision and fused by XLA.
+    (manipulator_3DoF.py:135-187).  The angle-sum FK differentiates by the
+    chain rule on theta = q1 - q2 and beta = theta - q3, so each column is a
+    signed partial sum of three link terms — 6 trig evaluations total instead
+    of the 3 duplicated passes jax.jacfwd spends (verified equal to AD in
+    tests/test_hand_jacobians.py).
     """
-    return jax.jacfwd(lambda qq: arm_fk(qq)[0])(q)
+    q1, q2, q3 = q[0], q[1], q[2]
+    s1, c1 = jnp.sin(q1), jnp.cos(q1)
+    theta = q1 - q2
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    beta = theta - q3
+    sb, cb = jnp.sin(beta), jnp.cos(beta)
+
+    # d/dtheta of the x3/z3 link terms, d/dbeta of the ee link terms
+    xt = A3 * st + A5 * ct
+    zt = A3 * ct - A5 * st
+    xb = -A6 * sb - A7 * cb
+    zb = -A6 * cb + A7 * sb
+    dx1 = A2 * c1 - A3 * s1
+    dz1 = -A2 * s1 - A3 * c1
+
+    zero = jnp.zeros_like(q1)
+    return jnp.stack([
+        jnp.stack([dx1 + xt + xb, -(xt + xb), -xb]),
+        jnp.stack([zero, zero, zero]),
+        jnp.stack([dz1 + zt + zb, -(zt + zb), -zb]),
+    ])
 
 
 def ee_velocity(q, dq):

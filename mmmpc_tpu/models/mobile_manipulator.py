@@ -9,7 +9,7 @@ input u = [dV, dw, dq1, dq2, dq3]                    (5,)
 
 import jax.numpy as jnp
 
-from mmmpc_tpu.models.arm import arm_fk, arm_step
+from mmmpc_tpu.models.arm import arm_fk, arm_step, ee_jacobian
 from mmmpc_tpu.models.base import base_step
 from mmmpc_tpu.utils.configs import BASELINK2JOINT1_X, BASELINK2JOINT1_Z
 
@@ -41,6 +41,34 @@ def wholebody_fk(state):
     j3_w = _lift_to_world(j3, px, py, cpsi, spsi)
     pose_ee = jnp.concatenate([ee_w, psi[None]])
     return pose_ee, j2_w, j3_w
+
+
+def wholebody_pose_jacobian(state):
+    """Closed-form 4x9 Jacobian of the end-effector world pose wrt the state.
+
+    d(wholebody_fk(state)[0]) / d state for the endpoint-tracking controller's
+    AL expansion (reference mpc_wholebody.py tracks this pose).  Only
+    [px, py, psi, q1, q2, q3] enter the pose: the x/y rows rotate the arm-frame
+    x-Jacobian by the base yaw and pick up the lever-arm term -r sin/cos(psi),
+    the z row is the arm-frame z-Jacobian, and the yaw row is d psi/d psi = 1.
+    Verified against jax.jacfwd in tests/test_hand_jacobians.py.
+    """
+    psi = state[2]
+    q = state[6:9]
+    cpsi, spsi = jnp.cos(psi), jnp.sin(psi)
+    ee, _, _ = arm_fk(q)
+    r = ee[0] + BASELINK2JOINT1_X
+    Ja = ee_jacobian(q)                      # rows [x, 0, z] wrt q
+    z = jnp.zeros_like(psi)
+    one = jnp.ones_like(psi)
+    return jnp.stack([
+        jnp.stack([one, z, -r * spsi, z, z, z,
+                   cpsi * Ja[0, 0], cpsi * Ja[0, 1], cpsi * Ja[0, 2]]),
+        jnp.stack([z, one, r * cpsi, z, z, z,
+                   spsi * Ja[0, 0], spsi * Ja[0, 1], spsi * Ja[0, 2]]),
+        jnp.stack([z, z, z, z, z, z, Ja[2, 0], Ja[2, 1], Ja[2, 2]]),
+        jnp.stack([z, z, one, z, z, z, z, z, z]),
+    ])
 
 
 def wholebody_step(x, u, dt):

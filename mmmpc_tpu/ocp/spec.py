@@ -90,9 +90,16 @@ class OCP:
     # Pallas kernel.
     lanes_fwd_factory: Optional[Callable] = None
     # Optional fused AL-expansion + Riccati backward kernel factory
-    # (ops/wholebody_bwd.py).  Signature: factory(cfg) -> bwd(X_bm, U_bm,
-    # lam_stage_bm, lam_term_bm, lam_eq_bm, mu, reg, params) -> (kff, K).
+    # (ops/wholebody_bwd.py, ops/generic_bwd.py).  Signature: factory(cfg)
+    # -> bwd(X_bm, U_bm, lam_stage_bm, lam_term_bm, lam_eq_bm, mu, reg,
+    # params) -> (kff, K).
     lanes_bwd_factory: Optional[Callable] = None
+    # True only when BOTH lanes kernels read a per-scenario (N, nu, B)
+    # U_last as a VMEM operand (fleet serving: each robot's own previous
+    # commands).  Kernels that read U_last from shared SMEM must leave this
+    # False so the batched solver routes per-scenario params to the vmap
+    # fallback instead of silently using one robot's values.
+    lanes_per_scenario_u_last: bool = False
 
     # Fully-structured AL expansion (fastest of all): the controller returns
     # the complete gradient/Hessian blocks of the scaled AL stage/terminal

@@ -67,19 +67,44 @@ def _back(a, B):
     return jnp.transpose(a, perm)
 
 
+def _fma_sum(terms):
+    """Accumulate a list of (8,128)-tile products as a chain of FMAs."""
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
 def _mTv(M, v):
-    """M^T v with leading matrix axes: out[i] = sum_j M[j, i] * v[j]."""
-    return jnp.sum(M * v[:, None], axis=0)
+    """M^T v: out[i] = sum_j M[j, i] * v[j], unrolled per entry.
+
+    Broadcast-reduce contractions (M * v[:, None] summed over axis 0)
+    materialize (n, m, 8, 128) intermediates that Mosaic walks in extra
+    passes; emitting the small contraction as explicit tile FMAs keeps every
+    op a native (8, 128) multiply-add (measured ~3x on the nx=9 sweep)."""
+    n, m = M.shape[0], M.shape[1]
+    return jnp.stack(
+        [_fma_sum([M[j, i] * v[j] for j in range(n)]) for i in range(m)])
 
 
 def _mTM(A, W):
-    """A^T W: out[i, j] = sum_p A[p, i] * W[p, j]."""
-    return jnp.sum(A[:, :, None] * W[:, None, :], axis=0)
+    """A^T W: out[i, j] = sum_p A[p, i] * W[p, j], unrolled per entry."""
+    p, n = A.shape[0], A.shape[1]
+    m = W.shape[1]
+    return jnp.stack([
+        jnp.stack([_fma_sum([A[k, i] * W[k, j] for k in range(p)])
+                   for j in range(m)])
+        for i in range(n)])
 
 
 def _mm(M, X):
-    """M X: out[i, j] = sum_p M[i, p] * X[p, j]."""
-    return jnp.sum(M[:, :, None] * X[None, :, :], axis=1)
+    """M X: out[i, j] = sum_p M[i, p] * X[p, j], unrolled per entry."""
+    n, p = M.shape[0], M.shape[1]
+    m = X.shape[1]
+    return jnp.stack([
+        jnp.stack([_fma_sum([M[i, k] * X[k, j] for k in range(p)])
+                   for j in range(m)])
+        for i in range(n)])
 
 
 def _chol_solve_lanes(Amat, cols, reg=0.0):

@@ -78,11 +78,12 @@ def _al_ilqr_solve_batched_body(ocp: OCP, x0_b, U0_b, params,
                  and ocp.lanes_fwd_factory is not None)
     if ps_keys:
         # per-scenario params ride the lanes path only when BOTH fused
-        # kernels exist (they read the batched arrays directly); a fwd-only
-        # lanes OCP (the generic_fwd controllers) reads U_last from shared
-        # SMEM and would silently use one scenario's values
+        # kernels read the batched arrays directly (ocp flag); kernels that
+        # read U_last from shared SMEM (the generic_fwd/generic_bwd
+        # controllers) would silently use one scenario's values
         use_lanes = (use_lanes and cfg.use_fused_backward
-                     and ocp.lanes_bwd_factory is not None)
+                     and ocp.lanes_bwd_factory is not None
+                     and ocp.lanes_per_scenario_u_last)
     if not use_kernel or (ps_keys and not use_lanes):
         # vmap fallback; per-scenario params entries map on their trailing
         # (batch-minor) axis

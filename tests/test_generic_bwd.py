@@ -1,0 +1,120 @@
+"""Parity of the generic fused AL-expansion + Riccati backward kernel
+(ops/generic_bwd.py) against the vmapped structured-expansion +
+ops/riccati.py path (itself AD-verified in tests/test_hand_jacobians.py).
+
+Interpreter mode on CPU, float32.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mmmpc_tpu.ops.generic_bwd as gb_mod
+import mmmpc_tpu.ops.riccati as ric
+from mmmpc_tpu.controllers import MPCWholeBodyEndpoint
+from mmmpc_tpu.models.obstacles import Obstacles
+from mmmpc_tpu.models.robots import MobileManipulator
+from mmmpc_tpu.solver.al_ilqr import build_core, rollout
+from mmmpc_tpu.ops.riccati import riccati_backward_bm
+from mmmpc_tpu.utils.configs import SolverConfig
+
+B, N = 1024, 5
+F32 = jnp.float32
+
+
+def _endpoint_problem():
+    cfg = SolverConfig(al_iters=2, ilqr_iters=4, n_alpha=3, alpha_decay=0.4,
+                       scan_unroll=5)
+    mpc = MPCWholeBodyEndpoint(
+        MobileManipulator(0.1), [Obstacles(1.0, 0.2, 0.3)], N=N,
+        solver_config=cfg)
+    rng = np.random.default_rng(11)
+    x0 = np.zeros(9)
+    x0[6:] = [-np.pi / 4, -np.pi / 2, np.pi / 2]
+    x0_b = jnp.asarray(
+        x0[None] + 0.05 * rng.standard_normal((B, 9))
+        * np.array([1, 1, 0.5, 0.2, 0.2, 0.2, 0.3, 0.3, 0.3]), F32)
+    U0_b = jnp.asarray(0.2 * rng.standard_normal((B, N, 5)), F32)
+    traj = jnp.asarray(
+        np.linspace([0.6, 0.1, 1.1, 0.0], [0.8, 0.2, 1.0, 0.3], N + 1), F32)
+    params = dict(mpc.make_params(traj, np.zeros((N, 5))),
+                  U_last=jnp.zeros((N, 5), F32))
+    params = jax.tree.map(lambda a: jnp.asarray(a, F32), params)
+    return mpc, cfg, x0_b, U0_b, params, rng
+
+
+def _bwd_parity(mpc, cfg, x0_b, U0_b, params, rng, atol):
+    ocp = mpc.ocp
+    dtype = F32
+    core = build_core(ocp, params, cfg, dtype)
+    nc, nct, ne = core.nc, core.nct, core.ne
+    x0_bm = x0_b.T
+    U0_bm = jnp.transpose(U0_b, (1, 2, 0))
+    rollout_bm = jax.vmap(lambda x0, U: rollout(ocp, x0, U, params),
+                          in_axes=(-1, -1), out_axes=-1)
+    X_bm, Uc_bm = rollout_bm(x0_bm, U0_bm)
+    lams = (jnp.asarray(np.abs(rng.standard_normal((N, nc, B))) * 0.3, F32),
+            jnp.asarray(np.abs(rng.standard_normal((nct, B))) * 0.3, F32),
+            jnp.asarray(rng.standard_normal((ne, B)) * 0.3, F32))
+    mu = jnp.asarray(10.0, F32)
+    reg = jnp.full((B,), 1e-6, F32)
+
+    derivs_bm = jax.vmap(
+        jax.vmap(core.stage_derivs, in_axes=(0, 0, 0, 0, None)),
+        in_axes=(-1, -1, None, -1, None), out_axes=-1)
+    term_derivs_bm = jax.vmap(core.terminal_derivs,
+                              in_axes=(-1, -1, -1, None), out_axes=-1)
+    derivs = derivs_bm(X_bm[:-1], Uc_bm, core.ks, lams[0], mu)
+    tg, tH = term_derivs_bm(X_bm[-1], lams[1], lams[2], mu)
+    kff_ref, K_ref = riccati_backward_bm(*derivs, tg, tH, reg)
+
+    bwd = ocp.lanes_bwd_factory(cfg)
+    kff, K = bwd(X_bm, Uc_bm, lams[0], lams[1], lams[2], mu, reg, params)
+
+    np.testing.assert_allclose(np.asarray(kff), np.asarray(kff_ref),
+                               atol=atol, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref),
+                               atol=atol, rtol=1e-4)
+
+
+def test_endpoint_fused_bwd_matches_structured(monkeypatch):
+    monkeypatch.setattr(gb_mod, "INTERPRET", True)
+    monkeypatch.setattr(ric, "INTERPRET", True)
+    mpc, cfg, x0_b, U0_b, params, rng = _endpoint_problem()
+    _bwd_parity(mpc, cfg, x0_b, U0_b, params, rng, atol=2e-4)
+
+
+def _arm_problem(cartesian=False):
+    from mmmpc_tpu.controllers import MPCManipulator3DoF
+    from mmmpc_tpu.models.robots import ManipulatorPanda3DoF
+    cfg = SolverConfig(al_iters=2, ilqr_iters=4, n_alpha=3, alpha_decay=0.4,
+                       scan_unroll=5)
+    mpc = MPCManipulator3DoF(
+        ManipulatorPanda3DoF(0.1),
+        [np.array([[1 / np.sqrt(2), 0, 1 / np.sqrt(2)]]),
+         np.array([[-1 / np.sqrt(2), 0, 1 / np.sqrt(2)]])],
+        np.array([0.0, 0.0, 0.35]), N=N, is_cartesian_ref=cartesian,
+        solver_config=cfg)
+    rng = np.random.default_rng(13)
+    q0 = np.array([0.3, -1.2, 1.2])
+    x0_b = jnp.asarray(np.clip(
+        q0[None] + rng.standard_normal((B, 3)) * 0.2,
+        mpc.qlim[0] + 1e-3, mpc.qlim[1] - 1e-3), F32)
+    U0_b = jnp.asarray(0.3 * rng.standard_normal((B, N, 3)), F32)
+    if cartesian:
+        traj = np.linspace([0.45, 0.0, 0.5], [0.35, 0.0, 0.6], N + 1)
+    else:
+        traj = np.linspace(q0, [0.0, -0.6, 0.9], N + 1)
+    params = dict(mpc.make_params(traj, np.zeros((N, 3))),
+                  U_last=jnp.zeros((N, 3), F32))
+    params = jax.tree.map(lambda a: jnp.asarray(a, F32), params)
+    return mpc, cfg, x0_b, U0_b, params, rng
+
+
+@pytest.mark.parametrize("cartesian", [False, True])
+def test_arm_fused_bwd_matches_structured(cartesian, monkeypatch):
+    monkeypatch.setattr(gb_mod, "INTERPRET", True)
+    monkeypatch.setattr(ric, "INTERPRET", True)
+    mpc, cfg, x0_b, U0_b, params, rng = _arm_problem(cartesian)
+    _bwd_parity(mpc, cfg, x0_b, U0_b, params, rng, atol=5e-4)

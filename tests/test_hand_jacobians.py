@@ -306,3 +306,25 @@ def test_al_expansion_matches_hand_path():
                                    rtol=1e-9, atol=1e-9)
         np.testing.assert_allclose(np.asarray(Hxx), np.asarray(H_ref),
                                    rtol=1e-9, atol=1e-9)
+
+
+def test_ee_jacobian_matches_ad():
+    from mmmpc_tpu.models.arm import arm_fk, ee_jacobian
+    for _ in range(10):
+        q = jnp.asarray(RNG.uniform(-np.pi, np.pi, size=3))
+        J = ee_jacobian(q)
+        J_ad = jax.jacfwd(lambda qq: arm_fk(qq)[0])(q)
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad),
+                                   atol=1e-13)
+
+
+def test_wholebody_pose_jacobian_matches_ad():
+    from mmmpc_tpu.models.mobile_manipulator import (
+        wholebody_fk, wholebody_pose_jacobian,
+    )
+    for _ in range(10):
+        x = jnp.asarray(RNG.normal(size=9))
+        J = wholebody_pose_jacobian(x)
+        J_ad = jax.jacfwd(lambda xx: wholebody_fk(xx)[0])(x)
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad),
+                                   atol=1e-13)
