@@ -112,9 +112,81 @@ def _arm_problem(cartesian=False):
     return mpc, cfg, x0_b, U0_b, params, rng
 
 
+def _arm_legs(cartesian, dtype, riccati):
+    """(kff, K) for the arm problem: ``riccati`` selects the path —
+    "fused" (the lanes kernel under test, f32 only), "kernel" (structured
+    expansion + ops/riccati.py) or "plain" (structured expansion + a vmapped
+    lax.scan sweep, exact in the requested dtype)."""
+    mpc, cfg, x0_b, U0_b, params, rng = _arm_problem(cartesian)
+    # identical values in every dtype: f32 inputs are exact in f64
+    cast = lambda a: jnp.asarray(np.asarray(a, np.float64), dtype)
+    x0_b, U0_b = cast(x0_b), cast(U0_b)
+    params = jax.tree.map(cast, params)
+    ocp = mpc.ocp
+    core = build_core(ocp, params, cfg, dtype)
+    nc, nct, ne = core.nc, core.nct, core.ne
+    x0_bm = x0_b.T
+    U0_bm = jnp.transpose(U0_b, (1, 2, 0))
+    rollout_bm = jax.vmap(lambda x0, U: rollout(ocp, x0, U, params),
+                          in_axes=(-1, -1), out_axes=-1)
+    X_bm, Uc_bm = rollout_bm(x0_bm, U0_bm)
+    lams = (cast(np.abs(rng.standard_normal((N, nc, B))) * 0.3),
+            cast(np.abs(rng.standard_normal((nct, B))) * 0.3),
+            cast(rng.standard_normal((max(ne, 0), B)) * 0.3))
+    mu = jnp.asarray(10.0, dtype)
+    reg = jnp.full((B,), 1e-6, dtype)
+    if riccati == "fused":
+        bwd = ocp.lanes_bwd_factory(cfg)
+        return bwd(X_bm, Uc_bm, lams[0], lams[1], lams[2], mu, reg, params)
+    derivs_bm = jax.vmap(
+        jax.vmap(core.stage_derivs, in_axes=(0, 0, 0, 0, None)),
+        in_axes=(-1, -1, None, -1, None), out_axes=-1)
+    term_derivs_bm = jax.vmap(core.terminal_derivs,
+                              in_axes=(-1, -1, -1, None), out_axes=-1)
+    derivs = derivs_bm(X_bm[:-1], Uc_bm, core.ks, lams[0], mu)
+    tg, tH = term_derivs_bm(X_bm[-1], lams[1], lams[2], mu)
+    if riccati == "kernel":
+        return riccati_backward_bm(*derivs, tg, tH, reg)
+    # "plain": exact-dtype lax.scan sweep, vmapped over the minor batch axis
+    scan_b = jax.vmap(core.backward_scan, in_axes=(-1, -1, -1, 0),
+                      out_axes=-1)
+    return scan_b(derivs, tg, tH, reg)
+
+
 @pytest.mark.parametrize("cartesian", [False, True])
 def test_arm_fused_bwd_matches_structured(cartesian, monkeypatch):
+    """Parity of the arm fused backward kernel — asserted against an f64
+    ground truth, not bitwise against the f32 structured path.
+
+    The arm's wedge-slack weight is 1e6 (reference
+    mpc_manipulator_3DoF.py:5), so active-slack stages put ~1e6-magnitude
+    entries into Quu/Qxx while kff stays O(1): the Riccati solve is
+    ill-conditioned enough that ANY two f32 summation orders legitimately
+    differ by ~1e-2 on a small tail of gains.  Measured on this exact
+    problem: |f32 structured - f64| max 1.8e-2 while |f32 fused - f64| max
+    1.5e-2 — the fused kernel is slightly MORE accurate than the structured
+    reference path (scripts/debug_arm_bwd3.py).  Parity is therefore:
+    - distribution: p99 of |fused - structured| tight (an algebra bug in the
+      hand-derived wedge-slack / self-collision partials shifts the whole
+      distribution, not just the conditioned tail; the sub-derivatives are
+      additionally AD-verified elementwise in scripts/debug_arm_bwd2.py);
+    - accuracy: the fused path's error against the f64 ground truth is no
+      worse than 1.5x the f32 structured path's own error.
+    """
     monkeypatch.setattr(gb_mod, "INTERPRET", True)
     monkeypatch.setattr(ric, "INTERPRET", True)
-    mpc, cfg, x0_b, U0_b, params, rng = _arm_problem(cartesian)
-    _bwd_parity(mpc, cfg, x0_b, U0_b, params, rng, atol=5e-4)
+    kff64, K64 = _arm_legs(cartesian, jnp.float64, "plain")
+    kff_s, K_s = _arm_legs(cartesian, F32, "kernel")
+    kff_f, K_f = _arm_legs(cartesian, F32, "fused")
+
+    for hand, struct, truth in ((kff_f, kff_s, kff64), (K_f, K_s, K64)):
+        e_fused = np.abs(np.asarray(hand, np.float64) - np.asarray(truth))
+        e_struct = np.abs(np.asarray(struct, np.float64) - np.asarray(truth))
+        e_cross = np.abs(np.asarray(hand, np.float64)
+                         - np.asarray(struct, np.float64))
+        assert np.percentile(e_cross, 99) < 5e-4, (
+            f"f32 paths disagree beyond the conditioned tail: "
+            f"p99 {np.percentile(e_cross, 99):.3e}")
+        assert e_fused.max() <= max(1.5 * e_struct.max(), 1e-3), (
+            f"fused kernel less accurate than the structured path: "
+            f"{e_fused.max():.3e} vs {e_struct.max():.3e}")
