@@ -84,9 +84,41 @@ def _al_penalty_eq(h, lam, mu):
     return jnp.sum(lam * h) + 0.5 * mu * jnp.sum(h * h)
 
 
-def build_core(ocp: OCP, params, cfg: SolverConfig, dtype):
+# Measured assoc-scan crossover on the v5e (BASELINE.md long-horizon table):
+# the parallel-prefix factorization only beats the sequential scan when the
+# backward sweep is latency-bound — small batch, long horizon.
+ASSOC_SCAN_MAX_BATCH = 8
+ASSOC_SCAN_MIN_HORIZON = 100
+
+
+def resolve_assoc_scan(cfg: SolverConfig, batch: int, N: int) -> bool:
+    """Decide scan vs associative-scan backward sweep for a (batch, N) shape.
+
+    ``cfg.use_assoc_scan`` semantics: "auto" picks from the measured
+    crossover (assoc iff batch <= 8 and N >= 100); True forces assoc but
+    warns in the known-bad quadrant (10-40x slower than the scan at fleet
+    batch sizes, BASELINE.md); False forces the sequential scan.
+    """
+    mode = cfg.use_assoc_scan
+    in_sweet_spot = (batch <= ASSOC_SCAN_MAX_BATCH
+                     and N >= ASSOC_SCAN_MIN_HORIZON)
+    if mode == "auto":
+        return in_sweet_spot
+    if mode and not in_sweet_spot:
+        import warnings
+        warnings.warn(
+            f"use_assoc_scan=True at batch={batch}, N={N}: the associative-"
+            f"scan Riccati is only faster when batch <= "
+            f"{ASSOC_SCAN_MAX_BATCH} and N >= {ASSOC_SCAN_MIN_HORIZON} "
+            f"(measured 10-40x slower otherwise, see BASELINE.md); use "
+            f'"auto" to select per shape.', UserWarning, stacklevel=2)
+    return bool(mode)
+
+
+def build_core(ocp: OCP, params, cfg: SolverConfig, dtype, batch_hint=1):
     """Per-scenario solver building blocks shared by the single-scenario and
-    batched entry points."""
+    batched entry points.  ``batch_hint`` feeds the scan-vs-assoc-scan
+    auto-selection (the per-scenario core can't see the batch itself)."""
     nx, nu, N = ocp.nx, ocp.nu, ocp.N
 
     nc = jax.eval_shape(ocp.stage_ineq, jnp.zeros(nx, dtype),
@@ -332,7 +364,8 @@ def build_core(ocp: OCP, params, cfg: SolverConfig, dtype):
         al_stage=al_stage, al_terminal=al_terminal, al_total=al_total,
         stage_derivs=stage_derivs, terminal_derivs=terminal_derivs,
         fwd_pass=fwd_pass,
-        backward_scan=(backward_assoc if cfg.use_assoc_scan
+        backward_scan=(backward_assoc
+                       if resolve_assoc_scan(cfg, batch_hint, N)
                        else backward_scan),
         eval_constraints=eval_constraints, violation=violation, mu_at=mu_at)
 

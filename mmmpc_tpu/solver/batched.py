@@ -70,7 +70,17 @@ def al_ilqr_solve_batched(ocp: OCP, x0_b, U0_b, params,
 
 def _al_ilqr_solve_batched_body(ocp: OCP, x0_b, U0_b, params,
                                 cfg: SolverConfig, lam0_b) -> SolveResult:
+    import dataclasses
+
+    from mmmpc_tpu.solver.al_ilqr import resolve_assoc_scan
+
     B = x0_b.shape[0]
+    # Resolve the scan-vs-assoc-scan choice HERE, where the batch is known:
+    # the vmapped per-scenario core below can't see B, and "auto" must not
+    # pick the assoc factorization for fleet batches (10-40x slower there,
+    # BASELINE.md long-horizon table).
+    cfg = dataclasses.replace(
+        cfg, use_assoc_scan=resolve_assoc_scan(cfg, B, ocp.N))
     use_kernel = (cfg.use_pallas_riccati and B % LANES == 0
                   and (jax.default_backend() != "cpu" or cfg.force_kernel))
     ps_keys = _per_scenario_keys(params)

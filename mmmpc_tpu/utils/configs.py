@@ -89,11 +89,16 @@ class SolverConfig:
     force_kernel: bool = False
     # Evaluate the Riccati backward sweep with the associative-scan
     # (parallel-prefix) formulation — O(log N) sequential depth instead of
-    # O(N).  The long-horizon path: pays off when N is in the hundreds and
-    # the batch is small (scripts/bench_longhorizon.py for the crossover);
-    # at N<=20 / batch>=1024 the lanes kernels win.  Applies to the scan
-    # (non-lanes) solver paths.
-    use_assoc_scan: bool = False
+    # O(N).  The long-horizon path: measured on the v5e it wins ONLY when
+    # the sweep is latency-bound — batch <= ~8 AND N >= ~100 (2.2-2.3x at
+    # N>=500, scripts/bench_longhorizon.py / BASELINE.md table); at fleet
+    # batch sizes its larger matrix-matrix composition elements are 10-40x
+    # SLOWER than the sequential scan.  Values:
+    #   "auto" (default): pick per (batch, N) from the measured crossover;
+    #   True: force assoc — emits a UserWarning in the known-bad quadrant;
+    #   False: force the sequential scan.
+    # Applies to the scan (non-lanes) solver paths.
+    use_assoc_scan: bool | str = "auto"
     # Matmul precision for the solver's linear algebra.  TPU's MXU defaults
     # to bfloat16 multiplies, whose 8-bit mantissa is NOT enough for the
     # Riccati gain algebra: solves still pass a 1e-3 violation tolerance,
