@@ -111,6 +111,12 @@ def main():
         "mean_cost": float(stats.mean_cost),
     }), file=sys.stderr)
 
+    # batched failure forensics (reference mpc_wholebody_qref.py:318-326):
+    # dump the worst scenarios whenever any of the batch failed to converge
+    if float(stats.n_converged) < float(stats.n_solved):
+        from mmmpc_tpu.utils.debugging import report_unconverged
+        report_unconverged(mpc.ocp, res, params, top_k=3)
+
     print(json.dumps({
         "metric": "wholebody_qref_solves_per_s",
         "value": round(solves_per_s, 1),

@@ -116,3 +116,18 @@ def make_batch_closed_loop(ocp, cfg: SolverConfig, shared_params,
                           fallback=jnp.moveaxis(fbs, 0, 1))
 
     return run
+
+
+def run_with_failure_report(run, *args, constraint_tol: float,
+                            top_k: int = 3, file=None):
+    """Host-side driver around a (possibly jitted) engine ``run``: executes
+    the rollout and dumps the top-k worst scenarios to stderr whenever any
+    tick violated ``constraint_tol`` or fell back to the shifted command —
+    the batched analogue of the reference's failure dump
+    (/root/reference/controllers/mpc_wholebody_qref.py:318-326)."""
+    from mmmpc_tpu.utils.debugging import report_rollout_failures
+
+    log = run(*args)
+    report_rollout_failures(log, constraint_tol=constraint_tol, top_k=top_k,
+                            file=file)
+    return log

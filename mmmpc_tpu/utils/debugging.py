@@ -51,6 +51,72 @@ def describe_result(result):
             f"max_viol={viol.max():.2e} converged={conv.mean()*100:.1f}%")
 
 
+def report_unconverged(ocp, result, params, *, top_k: int = 3, file=None):
+    """Fire the batched failure dump whenever part of a batch failed to
+    converge — the wiring the reference gets from its try/except print block
+    (/root/reference/controllers/mpc_wholebody_qref.py:318-326), applied to
+    the batched result instead of a single failed IPOPT solve.
+
+    Returns True when the report fired.  Consumers (bench.py, the batch
+    engines' drivers) call this unconditionally after a batched solve; the
+    report only prints when ``result.converged`` is not all-True.
+    """
+    import sys
+
+    import numpy as np
+
+    conv = np.asarray(result.converged)
+    if conv.ndim == 0 or bool(conv.all()):
+        return False
+    out = file if file is not None else sys.stderr
+    n_bad = int((~conv).sum())
+    print(f"[worst-scenario report] {n_bad}/{conv.size} scenarios "
+          f"unconverged:", file=out)
+    print(worst_scenario_report(ocp, result, params,
+                                top_k=min(top_k, n_bad)), file=out)
+    return True
+
+
+def report_rollout_failures(log, *, constraint_tol: float, top_k: int = 3,
+                            file=None):
+    """Closed-loop twin of :func:`report_unconverged` for the batched
+    engines' RolloutLog/TaskLog outputs (per-tick violation + fallback
+    columns instead of per-solve convergence flags).
+
+    Fires when any scenario's worst tick violates ``constraint_tol`` or used
+    the shifted-fallback command; dumps the top-k worst scenarios with the
+    tick index, the closed-loop state at that tick, and fallback counts.
+    Returns True when the report fired.
+    """
+    import sys
+
+    import numpy as np
+
+    viol = np.asarray(log.violation)            # (B, T)
+    fb = (np.asarray(log.fallback)
+          if hasattr(log, "fallback") and log.fallback is not None
+          else np.zeros_like(viol, dtype=bool))
+    worst = viol.max(axis=1)
+    bad = (worst > constraint_tol) | fb.any(axis=1)
+    if not bad.any():
+        return False
+    out = file if file is not None else sys.stderr
+    order = np.argsort(-worst)[:top_k]
+    print(f"[worst-scenario report] {int(bad.sum())}/{viol.shape[0]} "
+          f"rollouts exceeded tol {constraint_tol:g} or used the fallback:",
+          file=out)
+    X = np.asarray(log.X)
+    for b in order:
+        if not bad[b]:
+            continue
+        t = int(viol[b].argmax())
+        print(f"-- scenario {int(b)}: max violation {worst[b]:.3e} at tick "
+              f"{t} (fallback ticks: {int(fb[b].sum())})", file=out)
+        print(f"   x[tick]={X[b, min(t, X.shape[1] - 1)].round(4)}",
+              file=out)
+    return True
+
+
 def worst_scenario_report(ocp, result, params, top_k: int = 1):
     """Batched failure forensics: extract the argmax-violation scenario(s)
     from a batched SolveResult and break their violation down per constraint

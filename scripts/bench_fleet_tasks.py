@@ -77,13 +77,24 @@ def main():
     carry = None
     phases = []
     viol_max = 0.0
+    worst_log = None
     for _ in range(N_TICKS // CHUNK):
         log, carry = run(x0_j, gpt_j, carry) if carry is not None \
             else run(x0_j, gpt_j)
         phases.append(np.asarray(log.phase))
-        viol_max = max(viol_max, float(np.max(np.asarray(log.violation))))
+        chunk_max = float(np.max(np.asarray(log.violation)))
+        if worst_log is None or chunk_max > viol_max:
+            worst_log = log
+        viol_max = max(viol_max, chunk_max)
     jax.block_until_ready(log.X)
     dt_wall = time.perf_counter() - t0
+
+    # failure forensics (reference mpc_wholebody_qref.py:318-326): dump the
+    # worst robots of the worst chunk when any tick violated the tolerance
+    if viol_max > CFG.constraint_tol:
+        from mmmpc_tpu.utils.debugging import report_rollout_failures
+        report_rollout_failures(worst_log,
+                                constraint_tol=CFG.constraint_tol, top_k=3)
 
     phase_t = np.concatenate(phases, axis=1)           # (B, N_TICKS)
     done = phase_t[:, -1] == PHASE_DONE
