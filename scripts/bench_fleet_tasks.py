@@ -44,8 +44,13 @@ CHUNK = 40                    # ticks per XLA execution (transport-bounded)
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    scenario = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    # --relax: opt-in recovery config (5 cm / 2 deg rotate-exit tolerance
+    # instead of the reference's brittle 1 cm / 0.5 deg) for deployments
+    # that prefer completion over host-bug parity
+    relax = "--relax" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = int(args[0]) if args else 1024
+    scenario = int(args[1]) if len(args) > 1 else 1
     sc = make_scenario(scenario, N=N)
     hp = [(sc.hp_points[j], sc.hp_normals[j][None, :])
           for j in range(int(sc.hp_mask.sum()))]
@@ -57,9 +62,11 @@ def main():
         shared.pop(k)
     shared = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), shared)
 
+    loop_kw = (dict(rotate_exit_pos_tol=0.05,
+                    rotate_exit_yaw_tol=np.deg2rad(2.0)) if relax else {})
     run = jax.jit(make_batch_task_loop(
         mpc.ocp, CFG, shared, t_move=sc.t_move, t_manipulate=sc.t_manipulate,
-        dt=sc.dt, n_ticks=CHUNK, ik_iters=40))
+        dt=sc.dt, n_ticks=CHUNK, ik_iters=40, **loop_kw))
 
     rng = np.random.default_rng(0)
     x0 = np.tile(sc.x_start, (batch, 1)).astype(np.float32)
@@ -102,7 +109,8 @@ def main():
     done_at = np.where(done_mask.any(axis=1),
                        done_mask.argmax(axis=1), N_TICKS).astype(float)
     print(json.dumps({
-        "scenario": scenario, "batch": batch, "n_ticks": N_TICKS,
+        "scenario": scenario, "mode": "relaxed-exit" if relax else "parity",
+        "batch": batch, "n_ticks": N_TICKS,
         "horizon": N, "wall_s": round(dt_wall, 3),
         "completion_rate": round(float(done.mean()), 4),
         "median_done_tick": float(np.median(done_at[done]))

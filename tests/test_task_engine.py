@@ -4,6 +4,7 @@ complete for a batch of scenarios in one compiled loop."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from mmmpc_tpu.controllers import MPCWholeBody
 from mmmpc_tpu.models.obstacles import Obstacles
@@ -85,3 +86,86 @@ def test_stand_off_target_matches_interface():
         sc.global_pose_target[3], 0, 0, 0,
         sc.x_start[6], sc.x_start[7], sc.x_start[8]])
     np.testing.assert_allclose(np.asarray(xt), expect, atol=1e-12)
+
+
+def _scenario1_stall_setup():
+    """The straggler state family from the fleet bench: AT the stand-off
+    target with jittered arm joints and a few cm of base offset."""
+    from mmmpc_tpu.utils.configs import SolverConfig
+
+    sc = make_scenario(1, N=20)
+    cfg = SolverConfig(al_iters=6, ilqr_iters=12, cost_scale=1e5,
+                       constraint_tol=1e-3, n_alpha=3, alpha_decay=0.35)
+    hp = [(sc.hp_points[j], sc.hp_normals[j][None, :])
+          for j in range(int(sc.hp_mask.sum()))]
+    obstacles = [Obstacles(*row) for row in sc.ground_obstacles]
+    mpc = MPCWholeBody(MobileManipulator(sc.dt), obstacles, hp, N=20,
+                       solver_config=cfg)
+    xt = np.asarray(stand_off_target(jnp.asarray(sc.x_start),
+                                     jnp.asarray(sc.global_pose_target)))
+    # seed-0 probe state measured to stall (steady-state pos err 2.4 cm >
+    # the 1 cm exit tolerance) in both loops
+    rng = np.random.default_rng(0)
+    jb = rng.standard_normal(8), rng.standard_normal(8), \
+        rng.standard_normal(8), rng.standard_normal((8, 3))
+    x0 = xt.copy()
+    x0[0] += 0.05 * jb[0][0]
+    x0[1] += 0.05 * jb[1][0]
+    x0[2] += 0.02 * jb[2][0]
+    x0[6:] += 0.08 * jb[3][0]
+    return sc, cfg, mpc, x0, xt
+
+
+def _fleet_run(sc, cfg, mpc, x0, n_ticks, **loop_kw):
+    shared = mpc.make_params(np.zeros((21, 9)), np.zeros((20, 5)))
+    for k in ("X_ref", "U_ref"):
+        shared.pop(k)
+    run = jax.jit(make_batch_task_loop(
+        mpc.ocp, cfg, shared, t_move=sc.t_move,
+        t_manipulate=sc.t_manipulate, dt=sc.dt, n_ticks=n_ticks,
+        ik_iters=40, **loop_kw))
+    gpt = np.asarray(sc.global_pose_target, float)[None]
+    log, _ = run(jnp.asarray(x0[None]), jnp.asarray(gpt))
+    return log
+
+
+@pytest.mark.slow
+def test_rotate_stall_host_parity_and_recovery():
+    """Pins the fleet-bench straggler claim (VERDICT r3 weak #3 / next #5):
+
+    (a) a state that stalls the fleet engine's rotate phase stalls the host
+        Interface identically from the same state — the ~10% fleet
+        stragglers are the reference's brittle 1 cm / 0.5 deg rotate-exit
+        tolerances (interface_wholebody_qref.py:192-197), not an engine bug;
+    (b) the opt-in relaxed-exit recovery config clears the same state
+        (parity default unchanged).
+    """
+    from mmmpc_tpu.runtime import Interface
+    from mmmpc_tpu.sim.batch_task_engine import PHASE_ROTATE
+
+    sc, cfg, mpc, x0, xt = _scenario1_stall_setup()
+    T = 40
+
+    # (a1) fleet engine, parity tolerances: stuck in rotate
+    log = _fleet_run(sc, cfg, mpc, x0, T)
+    assert int(np.asarray(log.phase)[0, -1]) == PHASE_ROTATE
+    pos_err = float(np.linalg.norm(np.asarray(log.X)[0, -1, :2] - xt[:2]))
+    assert pos_err > 0.01        # steady-state offset beyond the tolerance
+
+    # (a2) host Interface from the IDENTICAL state: same stall
+    world = Interface(sc.dt, sc.t_move, sc.t_manipulate, x0,
+                      sc.global_pose_target, mpc, physical_sim=False,
+                      max_mpc_steps=T)
+    world.run()
+    assert world.task_flag == "rotate", world.task_flag
+    host_err = float(np.linalg.norm(
+        np.asarray(world.current_state)[:2] - xt[:2]))
+    assert host_err > 0.01
+    # both loops settle to the same out-of-tolerance equilibrium
+    assert abs(host_err - pos_err) < 0.01
+
+    # (b) opt-in recovery: relaxed exit (5 cm / 2 deg) clears the stall
+    log_rec = _fleet_run(sc, cfg, mpc, x0, T,
+                         rotate_exit_pos_tol=0.05,
+                         rotate_exit_yaw_tol=np.deg2rad(2.0))
+    assert int(np.asarray(log_rec.phase)[0, -1]) > PHASE_ROTATE
