@@ -227,6 +227,119 @@ class MPCBase(ControllerBase):
                 nx=6, nu=2, N=N, u_clamp=(ulim_np[0], ulim_np[1]),
                 alphas=alphas, inv_scale=1.0 / cfg.cost_scale, hooks=hooks)
 
+        def lanes_bwd_factory(cfg):
+            from mmmpc_tpu.ops import generic_bwd as gb
+            from mmmpc_tpu.ops import generic_fwd as gf
+            from mmmpc_tpu.ops.wholebody_bwd import (
+                _mul, _relu_max_grad,
+            )
+            two_s = 2.0 / cfg.cost_scale
+            dt_f = float(dt)
+            xlo = [float(v) for v in self.xlim[0]]
+            xhi = [float(v) for v in self.xlim[1]]
+            # state indices covered by the 5-wide box (yaw unbounded)
+            BOX = (0, 1, 3, 4, 5)
+
+            def ground_slack(x, sm):
+                """(smax, [sx0, sx1, 0, 0, 0, 0]) of relu(max ground-circle
+                g), tie-splitting matching _slack_vg's jnp.max VJP."""
+                if n_obs == 0:
+                    return 0.0, [0.0] * 6
+                vals, grads = [], []
+                for o in range(n_obs):
+                    dx = x[0] - sm["obstacles"][o, 0]
+                    dy = x[1] - sm["obstacles"][o, 1]
+                    d = jnp.sqrt(dx * dx + dy * dy + 1e-9)
+                    vals.append((sm["obstacles"][o, 2] + base_radius) - d)
+                    inv = -1.0 / d
+                    grads.append([dx * inv, dy * inv, 0.0, 0.0, 0.0, 0.0])
+                return _relu_max_grad(vals, grads, 6)
+
+            def tracking(x, sm, row, Wt):
+                e = [x[0] - sm["X_ref"][row, 0],
+                     x[1] - sm["X_ref"][row, 1],
+                     gf.wrap_pi_t(x[2] - sm["X_ref"][row, 2]),
+                     x[3] - sm["X_ref"][row, 3],
+                     x[4] - sm["X_ref"][row, 4],
+                     x[5] - sm["X_ref"][row, 5]]
+                smax, sx = ground_slack(x, sm)
+                M = sm["M"][0, 0]
+                Msm = M * smax
+                We = [None] * 6
+                for i in range(6):
+                    acc = None
+                    for j in range(6):
+                        t = Wt[i, j] * e[j]
+                        acc = t if acc is None else acc + t
+                    We[i] = acc
+                gx = [_mul(two_s, We[i] + _mul(Msm, sx[i]))
+                      for i in range(6)]
+                Hxx = [[_mul(two_s, Wt[i, j]
+                             + _mul(M, _mul(sx[i], sx[j])))
+                        for j in range(6)] for i in range(6)]
+                return gx, Hxx
+
+            def box_rows(x):
+                rows = []
+                for r, i in enumerate(BOX):
+                    g = [0.0] * 6
+                    g[i] = 1.0
+                    rows.append((x[i] - xhi[r], g))
+                for r, i in enumerate(BOX):
+                    g = [0.0] * 6
+                    g[i] = -1.0
+                    rows.append((xlo[r] - x[i], g))
+                return rows
+
+            def stage_quad(x, u, sm, k):
+                lx, lxx = tracking(x, sm, k, sm["Q"])
+                eu = [u[0] - sm["U_ref"][k, 0], u[1] - sm["U_ref"][k, 1]]
+                lu = [_mul(two_s, sm["R"][i, 0] * eu[0]
+                           + sm["R"][i, 1] * eu[1]) for i in range(2)]
+                luu = [[two_s * sm["R"][i, j] for j in range(2)]
+                       for i in range(2)]
+                lux = [[0.0] * 6 for _ in range(2)]
+                cons = [(v, g, [0.0, 0.0]) for v, g in box_rows(x)]
+                return lx, lu, lxx, luu, lux, cons
+
+            def term_quad(x, sm):
+                gx, Hxx = tracking(x, sm, N, sm["P"])
+                return gx, Hxx, box_rows(x), []
+
+            def dyn_jac(x, u, sm, k):
+                c2, s2 = jnp.cos(x[2]), jnp.sin(x[2])
+                A = [[1.0 if i == j else 0.0 for j in range(6)]
+                     for i in range(6)]
+                A[0][3] = A[1][4] = A[2][5] = dt_f
+                A[3][2] = -dt_f * (u[0] * s2)
+                A[3][4] = -dt_f * x[5]
+                A[3][5] = -dt_f * x[4]
+                A[4][2] = dt_f * (u[0] * c2)
+                A[4][3] = dt_f * x[5]
+                A[4][5] = dt_f * x[3]
+                Bm = [[0.0, 0.0] for _ in range(6)]
+                Bm[3][0] = dt_f * c2
+                Bm[4][0] = dt_f * s2
+                Bm[5][1] = dt_f
+                return A, Bm
+
+            def pack(p):
+                out = {k: p[k] for k in ("Q", "R", "P", "M", "X_ref",
+                                         "U_ref")}
+                out["obstacles"] = (p["obstacles"] if n_obs
+                                    else jnp.zeros((1, 3)))
+                return out
+
+            hooks = gb.BwdHooks(
+                nc=10, nct=10, ne=0,
+                smem_shapes={"Q": (6, 6), "R": (2, 2), "P": (6, 6),
+                             "M": (1, 1), "X_ref": (N + 1, 6),
+                             "U_ref": (N, 2),
+                             "obstacles": (max(n_obs, 1), 3)},
+                pack=pack, dyn_jac=dyn_jac,
+                stage_quad=stage_quad, term_quad=term_quad)
+            return gb.make_generic_bwd_fused(nx=6, nu=2, N=N, hooks=hooks)
+
         ocp = OCP(nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,
                   stage_cost=stage_cost, terminal_cost=terminal_cost,
                   stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
@@ -237,7 +350,8 @@ class MPCBase(ControllerBase):
                   dynamics_jacobians=dynamics_jacobians,
                   stage_al_expansion=stage_al_expansion,
                   terminal_al_expansion=terminal_al_expansion,
-                  lanes_fwd_factory=lanes_fwd_factory)
+                  lanes_fwd_factory=lanes_fwd_factory,
+                  lanes_bwd_factory=lanes_bwd_factory)
         super().__init__(ocp, solver_config or SolverConfig())
         self.reset()
 

@@ -85,6 +85,35 @@ def test_endpoint_fused_bwd_matches_structured(monkeypatch):
     _bwd_parity(mpc, cfg, x0_b, U0_b, params, rng, atol=2e-4)
 
 
+def _base_problem():
+    from mmmpc_tpu.controllers import MPCBase
+    from mmmpc_tpu.models.robots import Base as BaseRobot
+    cfg = SolverConfig(al_iters=2, ilqr_iters=4, n_alpha=3, alpha_decay=0.4,
+                       scan_unroll=5)
+    mpc = MPCBase(BaseRobot(0.1), [Obstacles(1.2, 0.15, 0.3),
+                                   Obstacles(0.4, -0.4, 0.25)], N=N,
+                  solver_config=cfg)
+    rng = np.random.default_rng(17)
+    x0_b = jnp.asarray(rng.standard_normal((B, 6)) * np.array(
+        [0.4, 0.4, 0.6, 0.2, 0.2, 0.2]), F32)
+    U0_b = jnp.asarray(0.3 * rng.standard_normal((B, N, 2)), F32)
+    traj = np.linspace(np.zeros(6), np.array([2.0, 0.4, 0.5, 0, 0, 0]),
+                       N + 1)
+    params = jax.tree.map(lambda a: jnp.asarray(a, F32),
+                          dict(mpc.make_params(traj, np.zeros((N, 2)))))
+    return mpc, cfg, x0_b, U0_b, params, rng
+
+
+def test_base_fused_bwd_matches_structured(monkeypatch):
+    monkeypatch.setattr(gb_mod, "INTERPRET", True)
+    monkeypatch.setattr(ric, "INTERPRET", True)
+    mpc, cfg, x0_b, U0_b, params, rng = _base_problem()
+    # M = 1e5 ground-circle slack: same conditioning allowance as the
+    # endpoint twin (1e5-weight rank-1 Hessian terms), one decade milder
+    # than the arm's 1e6 case
+    _bwd_parity(mpc, cfg, x0_b, U0_b, params, rng, atol=1e-3)
+
+
 def _arm_problem(cartesian=False):
     from mmmpc_tpu.controllers import MPCManipulator3DoF
     from mmmpc_tpu.models.robots import ManipulatorPanda3DoF
