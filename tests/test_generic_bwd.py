@@ -85,6 +85,29 @@ def test_endpoint_fused_bwd_matches_structured(monkeypatch):
     _bwd_parity(mpc, cfg, x0_b, U0_b, params, rng, atol=2e-4)
 
 
+def _demo_problem():
+    from mmmpc_tpu.controllers import MPC
+    from mmmpc_tpu.models.robots import RobotDemo
+    cfg = SolverConfig(al_iters=2, ilqr_iters=4, n_alpha=3, alpha_decay=0.4,
+                       scan_unroll=5)
+    mpc = MPC(RobotDemo(0.1), N=N, solver_config=cfg)
+    rng = np.random.default_rng(23)
+    x0_b = jnp.asarray(np.stack([rng.uniform(-2, 2, B),
+                                 rng.uniform(-0.9, 0.9, B)], axis=1), F32)
+    U0_b = jnp.asarray(0.5 * rng.standard_normal((B, N, 1)), F32)
+    traj = np.linspace([0.0, 0.0], [3.0, 0.0], N + 1)
+    params = jax.tree.map(lambda a: jnp.asarray(a, F32),
+                          dict(mpc.make_params(traj, np.zeros((N, 1)))))
+    return mpc, cfg, x0_b, U0_b, params, rng
+
+
+def test_demo_fused_bwd_matches_structured(monkeypatch):
+    monkeypatch.setattr(gb_mod, "INTERPRET", True)
+    monkeypatch.setattr(ric, "INTERPRET", True)
+    mpc, cfg, x0_b, U0_b, params, rng = _demo_problem()
+    _bwd_parity(mpc, cfg, x0_b, U0_b, params, rng, atol=1e-5)
+
+
 def _base_problem():
     from mmmpc_tpu.controllers import MPCBase
     from mmmpc_tpu.models.robots import Base as BaseRobot
