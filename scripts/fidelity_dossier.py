@@ -96,6 +96,27 @@ def scenario_cfgs():
     return out
 
 
+def _oracle_violation(ocp, x0, U, params):
+    """Max hard-constraint violation of an oracle solution (the oracles do
+    not all enforce every constraint: L-BFGS-B is a RELAXATION that ignores
+    state/rate boxes — see verify/oracle.py docstring)."""
+    from mmmpc_tpu.verify.oracle import _plain_rollout
+    ks = jnp.arange(ocp.N)
+    X = _plain_rollout(ocp, jnp.asarray(x0, jnp.float64), U)
+    parts = []
+    cs = jax.vmap(lambda x, u, k: ocp.stage_ineq(x, u, k, params))(
+        X[:-1], U, ks)
+    if cs.size:
+        parts.append(jnp.max(cs))
+    ct = ocp.terminal_ineq(X[-1], params)
+    if ct.size:
+        parts.append(jnp.max(ct))
+    return float(max(map(float, parts))) if parts else 0.0
+
+
+ORACLE_FEAS_TOL = 1e-6
+
+
 def per_solve_row(mpc, x0, traj, u_ref):
     u0 = mpc.solve(x0, traj, u_ref)
     res = mpc.last_result
@@ -103,25 +124,42 @@ def per_solve_row(mpc, x0, traj, u_ref):
     params = dict(mpc.make_params(traj, u_ref), U_last=jnp.zeros((N, nu)))
     U_l, X_l, cost_l, _ = lbfgs_solve(mpc.ocp, jnp.asarray(x0),
                                       jnp.zeros((N, nu)), params)
+    viol_l = _oracle_violation(mpc.ocp, x0, U_l, params)
     try:
         U_t, X_t, cost_t, _ = scipy_solve(mpc.ocp, jnp.asarray(x0),
                                           jnp.zeros((N, nu)), params,
                                           maxiter=2000)
+        viol_t = _oracle_violation(mpc.ocp, x0, U_t, params)
     except Exception:
-        U_t, cost_t = None, np.inf
-    # compare against the better oracle (both are independent of our solver)
-    if cost_t < cost_l - 1e-9 and U_t is not None:
-        U_o, cost_o, which = U_t, cost_t, "trust-constr"
-    else:
-        U_o, cost_o, which = U_l, cost_l, "L-BFGS-B"
+        U_t, cost_t, viol_t = None, np.inf, np.inf
+    # compare against the best FEASIBLE oracle.  Comparing raw costs would
+    # systematically select the L-BFGS-B relaxation whenever a state/rate
+    # constraint is active at the optimum (round-3 arm row: the "better"
+    # L-BFGS-B cost violated the |du|<=0.5 rate bound by exactly the
+    # reported dU=4.8e-2; the feasible trust-constr oracle agrees with this
+    # solver to 1.2e-6).
+    cands = []
+    if viol_l <= ORACLE_FEAS_TOL:
+        cands.append((cost_l, U_l, viol_l, "L-BFGS-B"))
+    if U_t is not None and viol_t <= ORACLE_FEAS_TOL:
+        cands.append((cost_t, U_t, viol_t, "trust-constr"))
+    if not cands:   # no feasible oracle: fall back to the least infeasible
+        cands = [(cost_l, U_l, viol_l, "L-BFGS-B (infeasible)")]
+        if U_t is not None:
+            cands.append((cost_t, U_t, viol_t, "trust-constr (infeasible)"))
+        cands.sort(key=lambda c: c[2])
+        cands = cands[:1]
+    cost_o, U_o, viol_o, which = min(cands, key=lambda c: c[0])
     dU = float(np.max(np.abs(np.asarray(res.U) - np.asarray(U_o))))
     dcost = float(res.cost - cost_o) / max(abs(cost_o), 1e-12)
-    return dU, dcost, which, float(res.max_violation)
+    return dU, dcost, which, float(res.max_violation), viol_o
 
 
-def closed_loop_row(mpc, x0, traj, u_ref, T):
+def closed_loop_row(mpc, x0, traj, u_ref, T, which="L-BFGS-B"):
     """Max state deviation between framework-in-the-loop and
-    oracle-in-the-loop rollouts of the model plant."""
+    oracle-in-the-loop rollouts of the model plant.  Uses the oracle that
+    won the per-solve row (the relaxation is wrong whenever a state/rate
+    constraint is active along the loop)."""
     N, nu = mpc.ocp.N, mpc.ocp.nu
     dyn = mpc.ocp.dynamics
 
@@ -133,12 +171,14 @@ def closed_loop_row(mpc, x0, traj, u_ref, T):
         x_f = dyn(x_f, jnp.asarray(u0))
         xs_f.append(np.asarray(x_f))
 
+    oracle = (scipy_solve if which.startswith("trust-constr")
+              else lbfgs_solve)
     x_o = jnp.asarray(x0, jnp.float64)
     U_warm = jnp.zeros((N, nu), jnp.float64)
     xs_o = [np.asarray(x_o)]
     for _ in range(T):
         params = dict(mpc.make_params(traj, u_ref), U_last=U_warm)
-        U_o, _, _, _ = lbfgs_solve(mpc.ocp, x_o, U_warm, params)
+        U_o, _, _, _ = oracle(mpc.ocp, x_o, U_warm, params)
         x_o = dyn(x_o, jnp.asarray(U_o[0]))
         U_warm = jnp.asarray(U_o)
         xs_o.append(np.asarray(x_o))
@@ -171,13 +211,33 @@ def self_consistency_n20():
     return dU, dc, float(r2.max_violation)
 
 
+# Per-config acceptance bounds, enforced by main() (non-zero exit on
+# regression).  Values are ~10x the measured round-4 numbers (FIDELITY.md
+# table) — tight enough to catch a real fidelity break, loose enough for
+# solver-tolerance noise.  dU is vs the best FEASIBLE oracle.
+ACCEPTANCE = {
+    "demo scenario 0 (wholebody qref)": dict(dU=1e-3, viol=1e-6),
+    "demo scenario 1 (wholebody qref)": dict(dU=1e-3, viol=1e-6),
+    "demo scenario 2 (wholebody qref)": dict(dU=1e-3, viol=1e-6),
+    "base-only (MPCBase)": dict(dU=1e-4, viol=1e-6),
+    "arm-only (MPCManipulator3DoF)": dict(dU=1e-4, viol=1e-6),
+    "moving-obs (MPCWholeBodyMovingObs)": dict(dU=1e-4, viol=1e-6),
+}
+# Self-consistency (N=20 qref, production vs 3x-budget f64): the acceptance
+# metric is relative cost at feasibility, NOT dU — scripts/
+# fidelity_analysis.py shows the landscape has near-equal minima O(1) apart
+# in U (tight-polishing the production iterate lands 2.9 away from it and
+# 1.3 away from the tight-from-scratch solution at rel dcost -6e-5).
+SELF_CONSISTENCY_RELDC = 5e-3
+
+
 def run_config(i: int):
     """One config's rows (run in its own process; see main's fan-out)."""
     name, mpc, x0, traj, u_ref, T = scenario_cfgs()[i]
-    dU, dcost, which, viol = per_solve_row(mpc, x0, traj, u_ref)
-    dev = closed_loop_row(mpc, x0, traj, u_ref, T)
+    dU, dcost, which, viol, oviol = per_solve_row(mpc, x0, traj, u_ref)
+    dev = closed_loop_row(mpc, x0, traj, u_ref, T, which)
     return {"name": name, "dU": dU, "dcost": dcost, "oracle": which,
-            "viol": viol, "dev": dev}
+            "viol": viol, "oracle_viol": oviol, "dev": dev}
 
 
 def main():
@@ -218,32 +278,68 @@ def main():
         "are scipy trust-constr (interior-point, IPOPT's family) and",
         "L-BFGS-B on the same OCP functions with exact JAX derivatives —",
         "agreement between unrelated solvers on the identical problem.",
+        "The comparison oracle per row is the best FEASIBLE one (max",
+        "violation <= 1e-6): L-BFGS-B ignores state/rate boxes by design",
+        "(verify/oracle.py), so whenever one of those is active its lower",
+        "cost is a relaxation bound, not a solution (this mislabeled the",
+        "round-3 arm row: the relaxation violated the |du| <= 0.5 rate",
+        "bound by exactly the reported dU = 4.8e-2).",
         "",
-        "| Config | per-solve max dU | rel dcost | oracle | our viol |"
-        " closed-loop max dev (T=10) |",
-        "|---|---|---|---|---|---|",
+        "| Config | per-solve max dU | rel dcost | oracle | oracle viol |"
+        " our viol | closed-loop max dev (T=10) | accept dU |",
+        "|---|---|---|---|---|---|---|---|",
     ]
+    failures = []
     for r in rows:
+        acc = ACCEPTANCE[r["name"]]
         lines.append(f"| {r['name']} | {r['dU']:.2e} | {r['dcost']:+.2e} |"
-                     f" {r['oracle']} | {r['viol']:.1e} | {r['dev']:.2e} |")
+                     f" {r['oracle']} | {r['oracle_viol']:.1e} |"
+                     f" {r['viol']:.1e} | {r['dev']:.2e} |"
+                     f" {acc['dU']:.0e} |")
         print(lines[-1], flush=True)
+        if r["dU"] > acc["dU"]:
+            failures.append(f"{r['name']}: dU {r['dU']:.2e} > {acc['dU']:g}")
+        if r["viol"] > acc["viol"]:
+            failures.append(f"{r['name']}: viol {r['viol']:.2e} "
+                            f"> {acc['viol']:g}")
 
     dU, dc, viol2 = selfrow["dU"], selfrow["dc"], selfrow["viol2"]
+    if dc > SELF_CONSISTENCY_RELDC:
+        failures.append(f"self-consistency rel dcost {dc:.2e} "
+                        f"> {SELF_CONSISTENCY_RELDC:g}")
     lines += [
         "",
         f"Self-consistency at the demo horizon (N=20, scenario-1 stack,"
         f" manipulate-phase start): production config vs 3x-budget f64"
         f" tight-tolerance solve — max|dU| {dU:.2e}, rel dcost {dc:.2e}"
-        f" (tight solve violation {viol2:.1e}).",
+        f" (tight solve violation {viol2:.1e}).  **Acceptance metric: rel"
+        f" dcost <= {SELF_CONSISTENCY_RELDC:g} at feasibility — NOT dU.**"
+        f" The redundantly-actuated whole-body problem has near-equal"
+        f" minima far apart in U-space: tight-polishing the production"
+        f" iterate in f64 lands max|dU| 2.9 from the production iterate and"
+        f" 1.3 from the tight-from-scratch solution while reaching rel"
+        f" dcost -6e-5 vs the latter (scripts/fidelity_analysis.py) —"
+        f" i.e. three near-identical-cost feasible solutions, pairwise O(1)"
+        f" apart.  The production budget's 0.35% cost gap at its 1e-3"
+        f" violation tolerance is the schedule's speed/accuracy tradeoff.",
         "",
         "Negative rel dcost = our solution is *better* (lower cost at"
         " feasibility) than the oracle's.",
+        "",
+        "Acceptance bounds (enforced by this script; non-zero exit on"
+        " regression): per-config dU columns above, our viol <= 1e-6,"
+        f" self-consistency rel dcost <= {SELF_CONSISTENCY_RELDC:g}.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "FIDELITY.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote", out)
+    if failures:
+        print("FIDELITY ACCEPTANCE FAILURES:", file=sys.stderr)
+        for fmsg in failures:
+            print("  " + fmsg, file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
