@@ -74,22 +74,33 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
                          t_move: float, t_manipulate: float, dt: float,
                          n_ticks: int, ik_iters: int = 60,
                          rotate_exit_pos_tol: float = 0.01,
-                         rotate_exit_yaw_tol: float = 0.5 * np.pi / 180.0):
+                         rotate_exit_yaw_tol: float = 0.5 * np.pi / 180.0,
+                         aim_at_button: bool = False,
+                         stuck_ticks: int = 25):
     """Build run(x_start_b, global_pose_target_b) -> TaskRolloutLog.
 
     ocp: the whole-body qref OCP (MPCWholeBody(...).ocp); shared_params: the
     controller's make_params(...) minus X_ref / U_ref / U_last / Q / P /
     eq_mask, which the FSM owns per scenario per tick.
 
-    ``rotate_exit_*_tol`` default to the reference's brittle 1 cm / 0.5 deg
-    rotate-exit tolerances (interface_wholebody_qref.py:192-197) — the
-    host-parity behavior, under which ~10% of a joint-jittered fleet stalls
-    in the rotate phase exactly like the host Interface does from the same
-    states (tests/test_task_engine.py::test_rotate_stall_host_parity).
-    Deployments that prefer completion over bug-parity opt into the
-    relaxed-recovery config (e.g. 5 cm / 2 deg: >=99% task completion,
-    BASELINE.md fleet-task section) — the arm's manipulate-phase tracking
-    comfortably absorbs a few cm of base stand-off error.
+    Straggler recovery (off by default — host-parity behavior): ~10% of a
+    joint-jittered fleet stalls in the rotate phase because the jittered-arm
+    pose equilibrium leaves a 1-2.5 cm base offset, beyond the reference's
+    brittle 1 cm / 0.5 deg exit tolerances
+    (interface_wholebody_qref.py:192-197); the host Interface stalls
+    identically from the same states
+    (tests/test_task_engine.py::test_rotate_stall_host_parity).  Relaxing
+    ``rotate_exit_pos_tol`` alone is NOT safe with the parity yaw target:
+    the arm moves in the base's x-z plane, so a base displaced d
+    perpendicular to the nominal heading leaves an uncompensable ~d lateral
+    end-effector miss (at 0.6 m stand-off, 5 cm -> ~4.8 deg bearing error
+    ~= 5 cm lateral — the 1 cm press-button check can never pass; measured:
+    blanket 5 cm / 2 deg relaxation DROPS fleet completion to 42%).  The
+    safe recovery is ``aim_at_button=True`` + relaxed pos tol: the rotate
+    phase's yaw target (reference pose AND exit check) becomes the button
+    bearing from the robot's ACTUAL position, so the arm plane contains the
+    button wherever the base settled and the IK absorbs the range
+    difference.
     """
     N = ocp.N
     nx, nu = ocp.nx, ocp.nu
@@ -106,7 +117,10 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
         return traj[rows]
 
     def per_scenario(x, U_warm, lams, phase, traj_move, traj_man, gpt,
-                     x_target):
+                     x_target, aux):
+        # aux = (best_ee_err, stale_ticks, rot_ticks): the stuck detectors'
+        # carry (recovery mode only; zeros-cost otherwise)
+        best_err, stale, rot_ticks = aux
         # ---- transitions (host-FSM order, interface:152-213) ----------
         in_move = phase == PHASE_MOVE
         in_appr = phase == PHASE_APPROACH
@@ -119,9 +133,27 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
         phase = jnp.where(in_move & near2, PHASE_APPROACH, phase)
         phase = jnp.where((in_move | in_appr) & (pos_err <= 0.2),
                           PHASE_ROTATE, phase)
-        yaw_ok = (jnp.abs(angle_diff(x[2], x_target[2]))
+        yaw_tgt = x_target[2]
+        exit_pos_ok = pos_err <= rotate_exit_pos_tol
+        if aim_at_button:
+            # bearing re-aim ONLY in the rotate phase AND only once the base
+            # is near the stand-off point: phase-wide (or far-field) bearing
+            # chasing is a moving target that makes robots spiral (measured:
+            # both variants cost completions)
+            bearing = jnp.arctan2(gpt[1] - x[1], gpt[0] - x[0])
+            near = pos_err <= 3.0 * rotate_exit_pos_tol
+            yaw_tgt = jnp.where(in_rot & near, bearing, yaw_tgt)
+            # task-aware exit: besides the (relaxed) pos gate, the button
+            # range must sit in the IK-reachable, collision-safe annulus —
+            # exiting closer than ~0.55 m puts the base against the button
+            # marker's own ground circle (r 0.1 + base 0.4 = 0.5), whose
+            # push drifts the frozen-yaw arm plane off the button (measured:
+            # the dominant relaxed-exit failure mode)
+            range_b = jnp.sqrt((gpt[0] - x[0]) ** 2 + (gpt[1] - x[1]) ** 2)
+            exit_pos_ok = exit_pos_ok & (range_b >= 0.55) & (range_b <= 0.68)
+        yaw_ok = (jnp.abs(angle_diff(x[2], yaw_tgt))
                   <= rotate_exit_yaw_tol)
-        to_manip = in_rot & yaw_ok & (pos_err <= rotate_exit_pos_tol)
+        to_manip = in_rot & yaw_ok & exit_pos_ok
         phase = jnp.where(to_manip, PHASE_MANIP, phase)
 
         # move finish: IK to the button-relative pose, joint-space linspace
@@ -140,13 +172,46 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
         traj_man = jnp.where(to_manip, traj_new, traj_man)
 
         ee = wholebody_fk(x)[0][:3]
-        done = in_man & (jnp.linalg.norm(ee - gpt[:3]) <= 0.01)
+        ee_err = jnp.linalg.norm(ee - gpt[:3])
+        done = in_man & (ee_err <= 0.01)
         phase = jnp.where(done, PHASE_DONE, phase)
+
+        if aim_at_button and stuck_ticks:
+            # manipulate-phase stuck detector (recovery mode): if the
+            # end-effector error has not improved for ``stuck_ticks``
+            # control periods, drop back to ROTATE — the bearing re-aim
+            # re-aligns the arm plane from wherever the base drifted, and
+            # the next rotate->manipulate transition re-runs the IK from the
+            # CURRENT joints (a fresh joint-space plan).  This is the
+            # batched twin of "back off and re-approach"; truly blocked
+            # scenarios just cycle and stay incomplete.
+            improved = ee_err < best_err - 1e-4
+            stale = jnp.where(in_man & ~improved & ~done, stale + 1, 0)
+            re_approach = in_man & (stale >= stuck_ticks) & ~done
+            phase = jnp.where(re_approach, PHASE_ROTATE, phase)
+            best_err = jnp.where(in_man & improved, ee_err,
+                                 jnp.where(re_approach | ~in_man,
+                                           jnp.asarray(1e9, x.dtype),
+                                           best_err))
+            stale = jnp.where(re_approach, 0, stale)
+            # rotate-orbit escape: a small population limit-cycles in the
+            # rotate phase (yaw tracking x position pull at ~0.3 m produces
+            # a persistent orbit); after 3x the stuck budget drop back to
+            # APPROACH — its weight row has NO yaw term, so the orbit
+            # decays and rotate re-enters cleanly at 0.2 m
+            still_rot = phase == PHASE_ROTATE
+            rot_ticks = jnp.where(still_rot, rot_ticks + 1, 0)
+            orbit = still_rot & (rot_ticks >= 3 * stuck_ticks)
+            phase = jnp.where(orbit, PHASE_APPROACH, phase)
+            rot_ticks = jnp.where(orbit, 0, rot_ticks)
+        aux = (best_err, stale, rot_ticks)
 
         # ---- phase-dependent references -------------------------------
         ref_move = window(traj_move, x, jnp.array([0, 1]))
-        # pose tile with continuous yaw (runtime/reference.local_ref_pose)
-        pose = x_target.at[2].set(x[2] + angle_diff(x_target[2], x[2]))
+        # pose tile with continuous yaw (runtime/reference.local_ref_pose);
+        # under recovery the rotate target yaw is the actual-position button
+        # bearing computed above
+        pose = x_target.at[2].set(x[2] + angle_diff(yaw_tgt, x[2]))
         ref_pose = jnp.tile(pose, (N + 1, 1))
         ref_man = window(traj_man, x, jnp.array([6, 7, 8]))
         X_ref = jnp.where(phase[None, None] == PHASE_MOVE, ref_move,
@@ -173,7 +238,7 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
         is_done = phase == PHASE_DONE
         u0 = jnp.where(is_done, 0.0, U_applied[0])
         x_next = jnp.where(is_done, x, ocp.dynamics(x, U_applied[0]))
-        return (x_next, U_applied, lams, phase, traj_man, u0,
+        return (x_next, U_applied, lams, phase, traj_man, aux, u0,
                 res.cost, res.max_violation)
 
     def run(x_start_b, global_pose_target_b, carry0=None):
@@ -214,15 +279,18 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
                  jnp.zeros((B, ne), dtype)),
                 jnp.full((B,), PHASE_MOVE, jnp.int32),
                 jnp.tile(x_start_b[:, None, :], (1, T_man + 1, 1)),
+                (jnp.full((B,), 1e9, dtype), jnp.zeros((B,), jnp.int32),
+                 jnp.zeros((B,), jnp.int32)),
             )
 
         def tick(carry, _):
-            x_b, U_b, lam_b, phase_b, man_b = carry
-            (x_n, U_n, lam_n, phase_n, man_n, u0, cost, viol) = jax.vmap(
-                per_scenario, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
+            x_b, U_b, lam_b, phase_b, man_b, aux_b = carry
+            (x_n, U_n, lam_n, phase_n, man_n, aux_n, u0, cost,
+             viol) = jax.vmap(
+                per_scenario, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))(
                     x_b, U_b, lam_b, phase_b, traj_move_b, man_b,
-                    global_pose_target_b, x_target_b)
-            return ((x_n, U_n, lam_n, phase_n, man_n),
+                    global_pose_target_b, x_target_b, aux_b)
+            return ((x_n, U_n, lam_n, phase_n, man_n, aux_n),
                     (x_n, u0, phase_n, cost, viol))
 
         carry, (Xs, Us, phases, costs, viols) = jax.lax.scan(

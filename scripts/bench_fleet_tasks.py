@@ -44,9 +44,11 @@ CHUNK = 40                    # ticks per XLA execution (transport-bounded)
 
 
 def main():
-    # --relax: opt-in recovery config (5 cm / 2 deg rotate-exit tolerance
-    # instead of the reference's brittle 1 cm / 0.5 deg) for deployments
-    # that prefer completion over host-bug parity
+    # --relax: opt-in straggler recovery (aim-at-button rotate target +
+    # 5 cm exit position tolerance; yaw tolerance stays 0.5 deg) for
+    # deployments that prefer completion over host-bug parity.  See the
+    # make_batch_task_loop docstring for why a blanket tolerance relaxation
+    # is NOT safe (measured 42% completion).
     relax = "--relax" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = int(args[0]) if args else 1024
@@ -62,8 +64,8 @@ def main():
         shared.pop(k)
     shared = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), shared)
 
-    loop_kw = (dict(rotate_exit_pos_tol=0.05,
-                    rotate_exit_yaw_tol=np.deg2rad(2.0)) if relax else {})
+    loop_kw = (dict(rotate_exit_pos_tol=0.05, aim_at_button=True)
+               if relax else {})
     run = jax.jit(make_batch_task_loop(
         mpc.ocp, CFG, shared, t_move=sc.t_move, t_manipulate=sc.t_manipulate,
         dt=sc.dt, n_ticks=CHUNK, ik_iters=40, **loop_kw))

@@ -164,8 +164,13 @@ def test_rotate_stall_host_parity_and_recovery():
     # both loops settle to the same out-of-tolerance equilibrium
     assert abs(host_err - pos_err) < 0.01
 
-    # (b) opt-in recovery: relaxed exit (5 cm / 2 deg) clears the stall
-    log_rec = _fleet_run(sc, cfg, mpc, x0, T,
-                         rotate_exit_pos_tol=0.05,
-                         rotate_exit_yaw_tol=np.deg2rad(2.0))
-    assert int(np.asarray(log_rec.phase)[0, -1]) > PHASE_ROTATE
+    # (b) opt-in recovery: aim-at-button rotate target + 5 cm exit position
+    # tolerance (yaw tolerance unchanged) clears the stall AND completes
+    # the press — the arm plane contains the button from the settled
+    # position, so the 1 cm end-effector check passes despite the base
+    # offset.  (A blanket yaw relaxation would exit rotate but leave an
+    # uncompensable lateral miss; see the engine docstring.)
+    from mmmpc_tpu.sim.batch_task_engine import PHASE_DONE as _DONE
+    log_rec = _fleet_run(sc, cfg, mpc, x0, 100,      # completes at tick ~77
+                         rotate_exit_pos_tol=0.05, aim_at_button=True)
+    assert int(np.asarray(log_rec.phase)[0, -1]) == _DONE

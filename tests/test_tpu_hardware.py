@@ -54,9 +54,13 @@ def test_riccati_kernel_matches_scan_on_hw():
                psd(B, N, nu, nu), 0.1 * r(B, N, nu, nx),
                r(B, N, nx, nx) * 0.3 + jnp.eye(nx, dtype=F32),
                0.3 * r(B, N, nx, nu), r(B, nx), psd(B, nx, nx))
+    # the pure-JAX reference path must run its small matmuls in full f32:
+    # on TPU `@` defaults to bf16 MXU passes, which is the REFERENCE being
+    # wrong, not the kernel (the kernel is elementwise f32 throughout)
+    with jax.default_matmul_precision("highest"):
+        kff_ref, K_ref = reference_backward(*args_bm, 1e-6)
+    # batch-minor kernel layout; reg per-scenario
     reg = jnp.full((B,), 1e-6, F32)
-    kff_ref, K_ref = reference_backward(*args_bm, reg)
-    # batch-minor kernel layout
     mn = [jnp.moveaxis(a, 0, -1) for a in args_bm]
     kff, K = riccati_backward_bm(*mn, reg)
     np.testing.assert_allclose(np.asarray(jnp.moveaxis(kff, -1, 0)),
@@ -91,8 +95,11 @@ def _bwd_parity_hw(mpc, cfg, x0_b, U0_b, params, rng, p99_tol):
         in_axes=(-1, -1, None, -1, None), out_axes=-1)
     term_derivs_bm = jax.vmap(core.terminal_derivs,
                               in_axes=(-1, -1, -1, None), out_axes=-1)
-    derivs = derivs_bm(X_bm[:-1], Uc_bm, core.ks, lams[0], mu)
-    tg, tH = term_derivs_bm(X_bm[-1], lams[1], lams[2], mu)
+    # full-f32 matmuls in the structured reference assembly (bf16 MXU
+    # default would make the REFERENCE the inaccurate side)
+    with jax.default_matmul_precision("highest"):
+        derivs = derivs_bm(X_bm[:-1], Uc_bm, core.ks, lams[0], mu)
+        tg, tH = term_derivs_bm(X_bm[-1], lams[1], lams[2], mu)
     kff_ref, K_ref = riccati_backward_bm(*derivs, tg, tH, reg)
 
     bwd = ocp.lanes_bwd_factory(cfg)
