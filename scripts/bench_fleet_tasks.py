@@ -50,6 +50,10 @@ def main():
     # make_batch_task_loop docstring for why a blanket tolerance relaxation
     # is NOT safe (measured 42% completion).
     relax = "--relax" in sys.argv
+    global N_TICKS
+    for a in sys.argv[1:]:
+        if a.startswith("--ticks="):
+            N_TICKS = int(a.split("=")[1]) // CHUNK * CHUNK
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = int(args[0]) if args else 1024
     scenario = int(args[1]) if len(args) > 1 else 1
