@@ -142,6 +142,10 @@ def test_generic_lanes_solve_matches_vmap(name, monkeypatch):
     monkeypatch.setattr(gbwd_mod, "INTERPRET", True)
     monkeypatch.setattr(ric, "INTERPRET", True)
     monkeypatch.setattr(batched_mod.jax, "default_backend", lambda: "tpu")
+    # full-suite only: the accumulated lowering cache of the MANY preceding
+    # interpret-mode pallas calls collides with this test's closed_call
+    # lowerings inside XLA (native abort; fine standalone) — start clean
+    jax.clear_caches()
     mpc, x0_b, U0_b, params = make_problem(name)
 
     res_lanes = al_ilqr_solve_batched(mpc.ocp, x0_b, U0_b, params, CFG)
