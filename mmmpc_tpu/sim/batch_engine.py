@@ -60,14 +60,18 @@ def make_batch_closed_loop(ocp, cfg: SolverConfig, shared_params,
     N = ocp.N
     dist_idx = jnp.asarray(distance_index)
 
-    def solve_one(x, U_warm, lams, traj_ref, u_ref):
+    def solve_one(x, U_warm, lams, traj_ref, u_ref, batch_hint):
         X_ref, U_ref = _local_window(traj_ref, u_ref, x, dist_idx, N)
         params = dict(shared_params, X_ref=X_ref, U_ref=U_ref, U_last=U_warm)
-        res = al_ilqr_solve(ocp, x, U_warm, params, cfg, lam0=lams)
+        # batch_hint: the fleet width of the surrounding vmap — without it a
+        # long-horizon fleet would auto-select the associative-scan Riccati
+        # in its 10-40x-slower large-batch quadrant (BASELINE.md)
+        res = al_ilqr_solve(ocp, x, U_warm, params, cfg, lam0=lams,
+                            batch_hint=batch_hint)
         return res
 
-    def per_scenario(x, U_warm, lams, traj_ref, u_ref):
-        res = solve_one(x, U_warm, lams, traj_ref, u_ref)
+    def per_scenario(x, U_warm, lams, traj_ref, u_ref, *, batch_hint):
+        res = solve_one(x, U_warm, lams, traj_ref, u_ref, batch_hint)
         u_new = res.U
         ok = (jnp.all(jnp.isfinite(u_new))
               & (res.max_violation < fallback_violation))
@@ -84,13 +88,15 @@ def make_batch_closed_loop(ocp, cfg: SolverConfig, shared_params,
                 res.max_violation, ~ok)
 
     def run(x0_b, traj_ref_b, u_ref_b):
+        B = x0_b.shape[0]
+
         def tick(carry, _):
             x_b, U_b, lam_b = carry
             (x_next, U_next, lam_next, u0, cost, viol, fb) = jax.vmap(
-                per_scenario)(x_b, U_b, lam_b, traj_ref_b, u_ref_b)
+                lambda *a: per_scenario(*a, batch_hint=B))(
+                    x_b, U_b, lam_b, traj_ref_b, u_ref_b)
             return (x_next, U_next, lam_next), (x_next, u0, cost, viol, fb)
 
-        B = x0_b.shape[0]
         U0_b = jnp.zeros((B, N, ocp.nu), x0_b.dtype)
         sample_params = dict(
             shared_params,

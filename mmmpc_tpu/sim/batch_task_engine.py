@@ -117,7 +117,7 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
         return traj[rows]
 
     def per_scenario(x, U_warm, lams, phase, traj_move, traj_man, gpt,
-                     x_target, aux):
+                     x_target, aux, *, batch_hint):
         # aux = (best_ee_err, stale_ticks, rot_ticks): the stuck detectors'
         # carry (recovery mode only; zeros-cost otherwise)
         best_err, stale, rot_ticks = aux
@@ -226,7 +226,10 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
 
         params = dict(shared_params, X_ref=X_ref, U_ref=U_ref,
                       U_last=U_warm, Q=QP, P=QP, eq_mask=eq_mask)
-        res = al_ilqr_solve(ocp, x, U_warm, params, cfg, lam0=lams)
+        # batch_hint = fleet width: keeps use_assoc_scan="auto" off the
+        # associative-scan path at fleet batch sizes (see batch_engine.py)
+        res = al_ilqr_solve(ocp, x, U_warm, params, cfg, lam0=lams,
+                            batch_hint=batch_hint)
 
         ok = jnp.all(jnp.isfinite(res.U)) & (res.max_violation < 1.0)
         u_shift = jnp.concatenate([U_warm[1:], U_warm[-1:]], axis=0)
@@ -250,6 +253,11 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
         what the transport tolerates — so callers run bounded segments and
         thread the carry; it is also the fleet checkpoint payload).
         Returns (TaskRolloutLog for this segment, carry).
+
+        Carry format: a 6-tuple (x, U, lams, phase, traj_man, aux); the
+        stuck-detector ``aux`` was appended in round 4.  A legacy 5-tuple
+        checkpoint (saved before aux existed) is accepted and upgraded with
+        a fresh zero aux.
         """
         B = x_start_b.shape[0]
         dtype = x_start_b.dtype
@@ -271,6 +279,8 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
         nct = jax.eval_shape(ocp.terminal_ineq, zx, probe).shape[0]
         ne = jax.eval_shape(ocp.terminal_eq, zx, probe).shape[0]
 
+        fresh_aux = (jnp.full((B,), 1e9, dtype), jnp.zeros((B,), jnp.int32),
+                     jnp.zeros((B,), jnp.int32))
         if carry0 is None:
             carry0 = (
                 x_start_b,
@@ -279,15 +289,18 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
                  jnp.zeros((B, ne), dtype)),
                 jnp.full((B,), PHASE_MOVE, jnp.int32),
                 jnp.tile(x_start_b[:, None, :], (1, T_man + 1, 1)),
-                (jnp.full((B,), 1e9, dtype), jnp.zeros((B,), jnp.int32),
-                 jnp.zeros((B,), jnp.int32)),
+                fresh_aux,
             )
+        elif len(carry0) == 5:
+            # legacy (pre-aux) checkpoint: upgrade with a fresh detector
+            # state instead of failing on the tree-structure mismatch
+            carry0 = (*carry0, fresh_aux)
 
         def tick(carry, _):
             x_b, U_b, lam_b, phase_b, man_b, aux_b = carry
             (x_n, U_n, lam_n, phase_n, man_n, aux_n, u0, cost,
              viol) = jax.vmap(
-                per_scenario, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))(
+                lambda *a: per_scenario(*a, batch_hint=B))(
                     x_b, U_b, lam_b, phase_b, traj_move_b, man_b,
                     global_pose_target_b, x_target_b, aux_b)
             return ((x_n, U_n, lam_n, phase_n, man_n, aux_n),

@@ -91,20 +91,29 @@ ASSOC_SCAN_MAX_BATCH = 8
 ASSOC_SCAN_MIN_HORIZON = 100
 
 
-def resolve_assoc_scan(cfg: SolverConfig, batch: int, N: int) -> bool:
+def resolve_assoc_scan(cfg: SolverConfig, batch: int, N: int,
+                       warn: bool = True) -> bool:
     """Decide scan vs associative-scan backward sweep for a (batch, N) shape.
 
     ``cfg.use_assoc_scan`` semantics: "auto" picks from the measured
     crossover (assoc iff batch <= 8 and N >= 100); True forces assoc but
     warns in the known-bad quadrant (10-40x slower than the scan at fleet
-    batch sizes, BASELINE.md); False forces the sequential scan.
+    batch sizes, BASELINE.md); False forces the sequential scan.  Any other
+    string is an error (a typo like "Auto" must not silently force assoc).
+
+    Entry points resolve with the real batch size and ``warn=True``;
+    ``build_core`` re-resolves with its batch *hint* and ``warn=False`` so a
+    forced-True config warns exactly once, with the true batch in the label.
     """
     mode = cfg.use_assoc_scan
+    if isinstance(mode, str) and mode != "auto":
+        raise ValueError(
+            f"use_assoc_scan={mode!r}: expected True, False, or 'auto'")
     in_sweet_spot = (batch <= ASSOC_SCAN_MAX_BATCH
                      and N >= ASSOC_SCAN_MIN_HORIZON)
     if mode == "auto":
         return in_sweet_spot
-    if mode and not in_sweet_spot:
+    if warn and mode and not in_sweet_spot:
         import warnings
         warnings.warn(
             f"use_assoc_scan=True at batch={batch}, N={N}: the associative-"
@@ -365,7 +374,7 @@ def build_core(ocp: OCP, params, cfg: SolverConfig, dtype, batch_hint=1):
         stage_derivs=stage_derivs, terminal_derivs=terminal_derivs,
         fwd_pass=fwd_pass,
         backward_scan=(backward_assoc
-                       if resolve_assoc_scan(cfg, batch_hint, N)
+                       if resolve_assoc_scan(cfg, batch_hint, N, warn=False)
                        else backward_scan),
         eval_constraints=eval_constraints, violation=violation, mu_at=mu_at)
 
@@ -417,24 +426,35 @@ def shift_multipliers(lam_stage, lam_term, lam_eq, decay: float = 0.5):
 
 def al_ilqr_solve(ocp: OCP, x0, U_init, params,
                   cfg: SolverConfig = SolverConfig(),
-                  lam0=None) -> SolveResult:
+                  lam0=None, batch_hint: int = 1) -> SolveResult:
     """Solve the OCP from initial state x0 with warm-start inputs U_init.
 
     lam0: optional (lam_stage (N, nc), lam_term (nct,), lam_eq (ne,)) warm
     start for the AL multipliers (e.g. the previous tick's SolveResult fields
     through ``shift_multipliers``).  Zeros when None (cold start).
+
+    batch_hint: the surrounding vmap width, if any.  A caller that vmaps this
+    per-scenario solve over a fleet MUST pass its batch here so
+    ``use_assoc_scan="auto"`` sees the true shape — with the default hint of
+    1, a long-horizon fleet rollout would silently select the associative-
+    scan factorization in exactly the 10-40x-slower quadrant the auto mode
+    exists to avoid (BASELINE.md long-horizon table).
     """
     # TPU MXU matmuls default to bfloat16 multiplies; at the solver's 9x9
     # scale that costs nothing to raise and silently breaks closed-loop
     # regulation if left low (see SolverConfig.matmul_precision).
     with jax.default_matmul_precision(cfg.matmul_precision):
-        return _al_ilqr_solve_body(ocp, x0, U_init, params, cfg, lam0)
+        return _al_ilqr_solve_body(ocp, x0, U_init, params, cfg, lam0,
+                                   batch_hint)
 
 
 def _al_ilqr_solve_body(ocp: OCP, x0, U_init, params, cfg: SolverConfig,
-                        lam0) -> SolveResult:
+                        lam0, batch_hint: int = 1) -> SolveResult:
+    # warn (once, with the true batch) on a forced-True assoc config in the
+    # known-bad quadrant; build_core itself re-resolves silently
+    resolve_assoc_scan(cfg, batch_hint, ocp.N, warn=True)
     dtype = jnp.result_type(x0)
-    core = build_core(ocp, params, cfg, dtype)
+    core = build_core(ocp, params, cfg, dtype, batch_hint=batch_hint)
     N, nc, nct, ne = core.N, core.nc, core.nct, core.ne
 
     def ilqr_iter(carry, lams_mu):

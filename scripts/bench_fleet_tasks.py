@@ -53,7 +53,13 @@ def main():
     global N_TICKS
     for a in sys.argv[1:]:
         if a.startswith("--ticks="):
-            N_TICKS = int(a.split("=")[1]) // CHUNK * CHUNK
+            t = int(a.split("=")[1])
+            # round UP to a CHUNK multiple (never to 0 — a floor of t<CHUNK
+            # would skip the loop entirely and crash on the unbound log)
+            N_TICKS = max(CHUNK, (t + CHUNK - 1) // CHUNK * CHUNK)
+            if N_TICKS != t:
+                print(f"--ticks={t} rounded to {N_TICKS} "
+                      f"(multiple of CHUNK={CHUNK})", file=sys.stderr)
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = int(args[0]) if args else 1024
     scenario = int(args[1]) if len(args) > 1 else 1
