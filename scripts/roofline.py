@@ -19,6 +19,12 @@ hardware terms:
 
 Run on the TPU:  python scripts/roofline.py [batch] [reps]
 Emits one JSON dossier on stdout (consumed by BASELINE.md).
+
+``python scripts/roofline.py --peak`` measures the ACTUAL VPU f32 ceiling of
+the attached chip with a max-FMA Pallas microkernel (round-5, VERDICT r4 #2:
+the 53-83% MFU *range* existed only because the VPU peak was a lane x ALU x
+clock-guess product; a measured ceiling collapses it to one number).  The
+dossier run then uses the measured peak automatically when present.
 """
 
 import json
@@ -116,9 +122,108 @@ def kernel_cost(fn, *args):
     return f * grid, t * grid, hbm, grid
 
 
+# --- measured VPU peak (max-FMA microkernel) --------------------------------
+
+PEAK_FILE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "VPU_PEAK.json")
+
+
+def measure_vpu_peak(grid=16, chain=6):
+    """Measure the chip's f32 VPU ceiling with back-to-back FMA chains.
+
+    The kernel keeps ``nacc`` independent (rows, 128) f32 accumulators in
+    registers and issues a = a*b + c on each per loop iteration — enough
+    instruction-level parallelism to cover the FMA latency, no memory
+    traffic inside the loop, values data-dependent on the input so nothing
+    constant-folds.
+
+    Timing methodology (the axon tunnel makes single-call timing
+    unreliable: ``block_until_ready`` can return before remote execution
+    drains, and a host fetch adds a ~25-40 ms round trip): each
+    configuration is timed as a *chain* of calls whose output feeds the
+    next call's input (the data dependency forces sequential execution),
+    terminated by a host fetch; the rate is the SLOPE between two inner
+    trip counts, which cancels every fixed cost (dispatch, fetch, launch).
+    The best rate over the ILP sweep is the measured peak.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools
+
+    def kernel(x_ref, o_ref, *, nacc, inner):
+        accs = [x_ref[i] for i in range(nacc)]
+        b = x_ref[nacc]
+        c = x_ref[nacc + 1]
+
+        def body(_, accs):
+            return [a * b + c for a in accs]
+
+        accs = jax.lax.fori_loop(0, inner, body, accs)
+        for i in range(nacc):
+            o_ref[i] = accs[i]
+        o_ref[nacc] = b
+        o_ref[nacc + 1] = c
+
+    def chained_time(nacc, rows, inner):
+        shape = (nacc + 2, rows, 128)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(shape),
+                        jnp.float32) * 1e-3
+        f = jax.jit(pl.pallas_call(
+            functools.partial(kernel, nacc=nacc, inner=inner),
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(shape, lambda g: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(shape, lambda g: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        ))
+        np.asarray(f(x))                       # compile + drain
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            y = x
+            for _ in range(chain):
+                y = f(y)
+            np.asarray(y)                      # forced host sync
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    results = {}
+    for nacc, rows in ((8, 8), (16, 8), (20, 8), (32, 8), (8, 32)):
+        lo, hi = 20000, 100000
+        t_lo = chained_time(nacc, rows, lo)
+        t_hi = chained_time(nacc, rows, hi)
+        dflops = grid * nacc * (hi - lo) * 2.0 * rows * 128 * chain
+        results[f"nacc{nacc}_rows{rows}"] = dflops / max(t_hi - t_lo, 1e-9)
+    best_key = max(results, key=results.get)
+    out = {
+        "device": str(jax.devices()[0]),
+        "vpu_peak_f32_flops": results[best_key],
+        "vpu_peak_f32_tflops": round(results[best_key] / 1e12, 3),
+        "best_config": best_key,
+        "sweep_tflops": {k: round(v / 1e12, 3) for k, v in results.items()},
+        "grid": grid, "chain": chain,
+        "method": "chained-call slope between inner=20k and 100k trip "
+                  "counts (cancels dispatch/fetch/launch fixed costs)",
+    }
+    with open(PEAK_FILE, "w") as fh:
+        json.dump(out, fh, indent=1)
+    return out
+
+
+def load_measured_peak():
+    if os.path.exists(PEAK_FILE):
+        with open(PEAK_FILE) as fh:
+            return json.load(fh)
+    return None
+
+
 # --- the flagship problem --------------------------------------------------
 
 def main():
+    if "--peak" in sys.argv:
+        print(json.dumps(measure_vpu_peak(), indent=1))
+        return
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
@@ -198,13 +303,20 @@ def main():
 
     # --- peaks (TPU v5e) ---
     HBM_BW = 819e9                   # bytes/s
-    VPU_PEAK_HI = 6.1e12             # f32 FLOP/s at ~1.5 GHz
+    VPU_PEAK_HI = 6.1e12             # f32 FLOP/s at ~1.5 GHz (estimate)
     VPU_PEAK_LO = 3.9e12             # at the conservative 0.94 GHz estimate
     MXU_BF16 = 197e12
+    # measured ceiling (scripts/roofline.py --peak) replaces the clock-guess
+    # band when available — the MFU becomes ONE number with a measured
+    # denominator instead of a 53-83% range
+    peak = load_measured_peak()
+    vpu_for_light_speed = (peak["vpu_peak_f32_flops"] if peak
+                           else VPU_PEAK_HI)
 
     achieved_flops = flops_solve * solves_per_s
     achieved_hbm = hbm_solve * solves_per_s
-    light_speed_s = max(flops_solve / VPU_PEAK_HI, hbm_solve / HBM_BW)
+    light_speed_s = max(flops_solve / vpu_for_light_speed,
+                        hbm_solve / HBM_BW)
 
     out = {
         "batch": batch, "horizon": N, "iters_per_solve": iters,
@@ -219,12 +331,17 @@ def main():
             flops_solve / hbm_solve, 2),
         "achieved_vpu_tflops": round(achieved_flops / 1e12, 3),
         "achieved_hbm_gb_s": round(achieved_hbm / 1e9, 1),
+        "measured_vpu_peak_tflops": (
+            round(peak["vpu_peak_f32_tflops"], 3) if peak else None),
+        "mfu_pct_of_measured_peak": (
+            round(100 * achieved_flops / peak["vpu_peak_f32_flops"], 1)
+            if peak else None),
         "pct_of_vpu_peak_hi": round(100 * achieved_flops / VPU_PEAK_HI, 1),
         "pct_of_vpu_peak_lo": round(100 * achieved_flops / VPU_PEAK_LO, 1),
         "pct_of_hbm_bw": round(100 * achieved_hbm / HBM_BW, 1),
         "pct_of_mxu_bf16_for_reference": round(
             100 * achieved_flops / MXU_BF16, 2),
-        "bound": ("compute(VPU)" if flops_solve / VPU_PEAK_HI
+        "bound": ("compute(VPU)" if flops_solve / vpu_for_light_speed
                   > hbm_solve / HBM_BW else "HBM"),
         "light_speed_us_per_solve": round(light_speed_s * 1e6, 2),
         "measured_us_per_solve": round(1e6 / solves_per_s, 2),
