@@ -179,9 +179,12 @@ def _riccati_stage(lx, lu, lxx, luu, lux, A, Bm, Vx, Vxx, reg, nx, nu):
                                [WA[p][j] for p in range(nx)])))
             for j in range(nx)] for i in range(nu)]
 
-    # Cholesky of Quu + reg I, solve for [kff | K]
+    # Cholesky of Quu + reg I, solve for [kff | K] — divides replaced by
+    # rsqrt-reciprocal multiplies (a divide costs ~7x an FMA slot on the
+    # VPU, measured by scripts/roofline.py --peak; see ops/wholebody_bwd.py)
     rhs = [[Qu[i]] + Qux[i] for i in range(nu)]             # (nu, 1+nx)
     L = [[None] * nu for _ in range(nu)]
+    Dinv = [None] * nu                                      # 1 / L[j][j]
     for i in range(nu):
         for j in range(i + 1):
             s_ = Quu[i][j]
@@ -189,7 +192,11 @@ def _riccati_stage(lx, lu, lxx, luu, lux, A, Bm, Vx, Vxx, reg, nx, nu):
                 s_ = s_ + reg
             for p in range(j):
                 s_ = s_ - L[i][p] * L[j][p]
-            L[i][j] = jnp.sqrt(s_) if i == j else s_ / L[j][j]
+            if i == j:
+                Dinv[i] = jax.lax.rsqrt(s_)
+                L[i][i] = s_ * Dinv[i]                      # = sqrt(s_)
+            else:
+                L[i][j] = s_ * Dinv[j]
     m_ = 1 + nx
     Y = [[None] * m_ for _ in range(nu)]
     for c in range(m_):
@@ -197,14 +204,14 @@ def _riccati_stage(lx, lu, lxx, luu, lux, A, Bm, Vx, Vxx, reg, nx, nu):
             s_ = rhs[i][c]
             for p in range(i):
                 s_ = s_ - L[i][p] * Y[p][c]
-            Y[i][c] = s_ / L[i][i]
+            Y[i][c] = s_ * Dinv[i]
     Xs = [[None] * m_ for _ in range(nu)]
     for c in range(m_):
         for i in reversed(range(nu)):
             s_ = Y[i][c]
             for p in range(i + 1, nu):
                 s_ = s_ - L[p][i] * Xs[p][c]
-            Xs[i][c] = s_ / L[i][i]
+            Xs[i][c] = s_ * Dinv[i]
     kff = [-Xs[i][0] for i in range(nu)]
     K = [[-Xs[i][1 + j] for j in range(nx)] for i in range(nu)]
 

@@ -164,9 +164,9 @@ def self_collision_t(ee, j2, j3, radius):
     (ocp/constraints.self_collision_g; first check is the frame origin)."""
     checks = (
         [0.0, 0.0, 0.0],
-        [j2[c] / 2 for c in range(3)],
+        [j2[c] * 0.5 for c in range(3)],
         j2,
-        [(j2[c] + j3[c]) / 2 for c in range(3)],
+        [(j2[c] + j3[c]) * 0.5 for c in range(3)],
     )
     out = []
     for chk in checks:
@@ -182,11 +182,11 @@ def sample_points_t(ee, j2, j3):
     """The six sampled link points (ocp/constraints.manipulator_sample_points
     — reference mpc_wholebody_qref.py:216-217)."""
     return (
-        [j2[c] / 2 for c in range(3)],
+        [j2[c] * 0.5 for c in range(3)],
         j2,
-        [(j2[c] + j3[c]) / 2 for c in range(3)],
+        [(j2[c] + j3[c]) * 0.5 for c in range(3)],
         j3,
-        [(j3[c] + ee[c]) / 2 for c in range(3)],
+        [(j3[c] + ee[c]) * 0.5 for c in range(3)],
         ee,
     )
 
@@ -234,6 +234,7 @@ def make_generic_fwd_linesearch(*, nx, nu, N, u_clamp, alphas, inv_scale,
 
         g = pl.program_id(1)
         mu = mu_ref[0, 0]
+        inv2mu = 0.5 / mu      # scalar: one divide instead of a tile divide
 
         def ld(ref, n):
             arr = ref[0][..., 0, :, :]
@@ -276,7 +277,7 @@ def make_generic_fwd_linesearch(*, nx, nu, N, u_clamp, alphas, inv_scale,
                     t = jnp.maximum(lam[r] + mu * gs[r], 0.0)
                     term = t * t - lam[r] * lam[r]
                     pen = term if pen is None else pen + term
-                stage = stage + pen / (2.0 * mu)
+                stage = stage + pen * inv2mu
             cost_s[a] = cost_s[a] + stage
 
             xn = hooks.dyn(x, u)
@@ -299,7 +300,7 @@ def make_generic_fwd_linesearch(*, nx, nu, N, u_clamp, alphas, inv_scale,
                         t = jnp.maximum(lt + mu * gts[r], 0.0)
                         term = t * t - lt * lt
                         penN = term if penN is None else penN + term
-                    cterm = cterm + penN / (2.0 * mu)
+                    cterm = cterm + penN * inv2mu
                 if ne:
                     assert len(hts) == ne, (len(hts), ne)
                     for r in range(ne):

@@ -116,7 +116,10 @@ def _chol_solve_lanes(Amat, cols, reg=0.0):
     """
     n = Amat.shape[0]
     m = cols.shape[1]
+    # pivot reciprocals via rsqrt: substitution divides (the dominant VPU
+    # divide cost of the sweep, ~7x an FMA slot each) become multiplies
     L = [[None] * n for _ in range(n)]
+    Dinv = [None] * n
     for i in range(n):
         for j in range(i + 1):
             s = Amat[i, j]
@@ -125,23 +128,24 @@ def _chol_solve_lanes(Amat, cols, reg=0.0):
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
-                L[i][j] = jnp.sqrt(s)
+                Dinv[i] = jax.lax.rsqrt(s)
+                L[i][i] = s * Dinv[i]                    # = sqrt(s)
             else:
-                L[i][j] = s / L[j][j]
+                L[i][j] = s * Dinv[j]
     Y = [[None] * m for _ in range(n)]
     for c in range(m):
         for i in range(n):
             s = cols[i, c]
             for k in range(i):
                 s = s - L[i][k] * Y[k][c]
-            Y[i][c] = s / L[i][i]
+            Y[i][c] = s * Dinv[i]
     X = [[None] * m for _ in range(n)]
     for c in range(m):
         for i in reversed(range(n)):
             s = Y[i][c]
             for k in range(i + 1, n):
                 s = s - L[k][i] * X[k][c]
-            X[i][c] = s / L[i][i]
+            X[i][c] = s * Dinv[i]
     return jnp.stack([jnp.stack(X[i], axis=0) for i in range(n)], axis=0)
 
 

@@ -102,19 +102,20 @@ def _as_tile(v):
 # closed-form FK with partials (angle-sum forms of models/arm.py)
 # --------------------------------------------------------------------------
 
-def _fk_partials(x):
+def _fk_partials(x, tr=None):
     """World FK of (j2, j3, ee) plus everything needed for their gradients.
 
     Returns a dict of tiles; q-partial tables are 3-lists over (q1, q2, q3).
+    ``tr`` optionally supplies the 8 trig tiles [s1, c1, st, ct, sb, cb,
+    sp, cp] (the backward sweep's incremental-trig carry,
+    ops/wholebody_fwd.py::_trig_advance semantics run in reverse); without
+    it the sin/cos are evaluated directly.
     """
-    px, py, psi = x[0], x[1], x[2]
-    q1, q2, q3 = x[6], x[7], x[8]
-    s1, c1 = jnp.sin(q1), jnp.cos(q1)
-    th = q1 - q2
-    st, ct = jnp.sin(th), jnp.cos(th)
-    be = th - q3
-    sb, cb = jnp.sin(be), jnp.cos(be)
-    cp, sp = jnp.cos(psi), jnp.sin(psi)
+    px, py = x[0], x[1]
+    if tr is None:
+        from mmmpc_tpu.ops.wholebody_fwd import _trig_full
+        tr = _trig_full(x)
+    s1, c1, st, ct, sb, cb, sp, cp = tr
 
     ax2 = A2 * s1 + A3 * c1
     az2 = A2 * c1 - A3 * s1
@@ -182,13 +183,15 @@ def _slack_with_grads(x, fk, obs_vals, hp_faces, base_radius,
     ee = fk["ee"]
     vals, grads = [], []
 
-    # ground circles (reference obsAvoid, mpc_wholebody_qref.py:49-54)
+    # ground circles (reference obsAvoid, mpc_wholebody_qref.py:49-54);
+    # one rsqrt gives both the distance (d2 * rsqrt) and the gradient
+    # reciprocal — no divide (divides cost ~7x an FMA slot, roofline --peak)
     for ox, oy, orad in obs_vals:
         dx0 = x[0] - ox
         dy0 = x[1] - oy
-        d = jnp.sqrt(dx0 * dx0 + dy0 * dy0 + _EPS)
-        vals.append((orad + base_radius) - d)
-        inv = 1.0 / d
+        d2 = dx0 * dx0 + dy0 * dy0 + _EPS
+        inv = jax.lax.rsqrt(d2)
+        vals.append((orad + base_radius) - d2 * inv)
         grads.append([-dx0 * inv, -dy0 * inv, 0.0, 0.0, 0.0, 0.0,
                       0.0, 0.0, 0.0])
 
@@ -199,9 +202,10 @@ def _slack_with_grads(x, fk, obs_vals, hp_faces, base_radius,
             chk, s_a, R_a, AXa, AZa = _combo(fk, al)
             v = [_add(chk[c], _mul(-1.0, ee[c])) for c in range(3)]
             v = [_as_tile(t) for t in v]
-            nrm = jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2] + _EPS)
-            vals.append(SELF_COLLISION_RADIUS - nrm)
-            coef = -1.0 / nrm
+            n2 = v[0] * v[0] + v[1] * v[1] + v[2] * v[2] + _EPS
+            rs = jax.lax.rsqrt(n2)
+            vals.append(SELF_COLLISION_RADIUS - n2 * rs)
+            coef = -rs
             dR = _add(R_a, _mul(-1.0, Re_))
             vxy = _add(_mul(v[0], cp), _mul(v[1], sp))
             gq = []
@@ -290,9 +294,10 @@ def _relu_max_grad(vals, grads, nvar):
 def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
             xref_ref, uref_ref, ulast_ref, obs_ref, hpo_ref, hpn_ref,
             hpm_ref, X_in, U_in, lam_in, xterm_in, lamt_in, lame_in,
-            reg_in, kff_out, K_out, Vx_s, Vxx_s, *,
+            reg_in, kff_out, K_out, Vx_s, Vxx_s, trig_s, *,
             nx, nu, N, dt, inv_scale, base_radius, n_obs, n_hp,
             bug_compat, moving, x_bounds, du_bounds, ps_ulast):
+    from mmmpc_tpu.ops.wholebody_fwd import _trig_full, _trig_retreat
     g = pl.program_id(1)
     k = N - 1 - g            # stage index (backward)
     mu = mu_ref[0, 0]
@@ -329,7 +334,12 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
         xt = ld_term(xterm_in, nx)
         lam_t = ld_term(lamt_in, 2 * nx)
         lam_e = ld_term(lame_in, 2)
-        fkt = _fk_partials(xt)
+        # the sweep's ONLY full sin/cos evaluation: terminal trig, then
+        # every stage rotates backward by its dt * (input-rate) deltas
+        trt = _trig_full(xt)
+        for c in range(8):
+            trig_s[c] = trt[c]
+        fkt = _fk_partials(xt, trt)
         vals, grads = _slack_with_grads(
             xt, fkt, obs_vals(N if moving else 0), hp_faces, base_radius,
             include_selfcol=not bug_compat)
@@ -380,7 +390,11 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
     uk = ld(U_in, nu)
     lam = ld(lam_in, 2 * nx + 2 * nu)
 
-    fk = _fk_partials(xk)
+    tr_next = [trig_s[c] for c in range(8)]    # trig of stage k+1
+    tr_k = _trig_retreat(tr_next, xk, uk, dt)
+    for c in range(8):
+        trig_s[c] = tr_k[c]
+    fk = _fk_partials(xk, tr_k)
     vals, grads = _slack_with_grads(xk, fk, obs_vals(k), hp_faces,
                                     base_radius)
     # grads are d/dx only so far; u-grads appear only via the bug-compat
@@ -418,7 +432,8 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
             xk[5] + dt * uk[1],
             xk[6] + dt * uk[2], xk[7] + dt * uk[3], xk[8] + dt * uk[4],
         ]
-        fkn = _fk_partials(xn)
+        # xn == x_{k+1}, whose trig is exactly the pre-retreat carry
+        fkn = _fk_partials(xn, tr_next)
         pred = (k == N - 1)
         tvals, tgrads = _slack_with_grads(xn, fkn, [], [], base_radius)
         for tv, tg in zip(tvals, tgrads):
@@ -523,10 +538,16 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
                                [WA[p][j] for p in range(nx)])))
             for j in range(nx)] for i in range(nu)]
 
-    # Cholesky of Quu + reg I, solve for [kff | K]
+    # Cholesky of Quu + reg I, solve for [kff | K].  Divides are the
+    # second-largest hidden VPU cost of the sweep (measured ~260 Gel/s vs
+    # 1.9 G FMA-ops/s, scripts/roofline.py --peak round 5): the textbook
+    # substitution spends ~110 divides per stage; computing the pivot
+    # reciprocal once via rsqrt (~365 Gel/s) turns every one into a multiply
+    # — 5 rsqrt + ~110 muls per stage instead.
     reg = reg_in[0]
     rhs = [[Qu[i]] + Qux[i] for i in range(nu)]          # (nu, 1+nx)
     L = [[None] * nu for _ in range(nu)]
+    Dinv = [None] * nu                                   # 1 / L[j][j]
     for i in range(nu):
         for j in range(i + 1):
             s_ = Quu[i][j]
@@ -534,7 +555,11 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
                 s_ = s_ + reg
             for p in range(j):
                 s_ = s_ - L[i][p] * L[j][p]
-            L[i][j] = jnp.sqrt(s_) if i == j else s_ / L[j][j]
+            if i == j:
+                Dinv[i] = jax.lax.rsqrt(s_)
+                L[i][i] = s_ * Dinv[i]                   # = sqrt(s_)
+            else:
+                L[i][j] = s_ * Dinv[j]
     m_ = 1 + nx
     Y = [[None] * m_ for _ in range(nu)]
     for c in range(m_):
@@ -542,14 +567,14 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
             s_ = rhs[i][c]
             for p in range(i):
                 s_ = s_ - L[i][p] * Y[p][c]
-            Y[i][c] = s_ / L[i][i]
+            Y[i][c] = s_ * Dinv[i]
     Xs = [[None] * m_ for _ in range(nu)]
     for c in range(m_):
         for i in reversed(range(nu)):
             s_ = Y[i][c]
             for p in range(i + 1, nu):
                 s_ = s_ - L[p][i] * Xs[p][c]
-            Xs[i][c] = s_ / L[i][i]
+            Xs[i][c] = s_ * Dinv[i]
     kff = [-Xs[i][0] for i in range(nu)]
     K = [[-Xs[i][1 + j] for j in range(nx)] for i in range(nu)]
 
@@ -683,6 +708,7 @@ def make_bwd_fused(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
             scratch_shapes=[
                 pltpu.VMEM((nx, SUB, LANE), f32),
                 pltpu.VMEM((nx, nx, SUB, LANE), f32),
+                pltpu.VMEM((8, SUB, LANE), f32),      # trig carry
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),

@@ -70,25 +70,112 @@ _EPS = 1e-9  # matches utils/math.safe_norm / safe_dist
 
 
 def _fk_world(x):
-    """World-frame (ee, j2, j3) as lists of 3 tiles each.
-
-    Tile-component transcription of models/mobile_manipulator.wholebody_fk
-    (itself the reference forward_tranformation, mobile_manipulator.py:17-55).
+    """World-frame (ee, j2, j3) as lists of 3 tiles each — direct sin/cos
+    form (models/mobile_manipulator.wholebody_fk; reference
+    forward_tranformation, mobile_manipulator.py:17-55).  The flagship
+    kernel below uses the incremental-trig form instead; this remains for
+    the generic-kernel controller hooks (controllers/wholebody_endpoint.py).
     """
-    px, py, psi = x[0], x[1], x[2]
-    q1, q2, q3 = x[6], x[7], x[8]
-    s1, c1 = jnp.sin(q1), jnp.cos(q1)
-    th = q1 - q2
-    st, ct = jnp.sin(th), jnp.cos(th)
-    be = th - q3
-    sb, cb = jnp.sin(be), jnp.cos(be)
+    return _fk_from_trig(x, _trig_full(x))
+
+
+def _dyn(x, u, dt):
+    """Tile-component wholebody_step (reference mobile_manipulator.py:57-75)
+    — direct sin/cos form for generic-kernel controller hooks."""
+    return _dyn_tr(x, u, dt, jnp.sin(x[2]), jnp.cos(x[2]))
+
+
+def _trig_full(x):
+    """The 8 trig tiles the rollout carries: [s1, c1, st, ct, sb, cb, sp, cp]
+    (sin/cos of q1, th = q1-q2, be = th-q3, psi).
+
+    Computed ONCE per rollout (first grid step); every subsequent stage
+    advances them with the angle-addition identity + a small-angle
+    polynomial instead of re-evaluating sin/cos (measured ~50 FMA-slots
+    each on the v5e, scripts/roofline.py — they were ~40% of the forward
+    kernel's true op cost)."""
+    q1 = x[6]
+    th = q1 - x[7]
+    be = th - x[8]
+    psi = x[2]
+    return [jnp.sin(q1), jnp.cos(q1), jnp.sin(th), jnp.cos(th),
+            jnp.sin(be), jnp.cos(be), jnp.sin(psi), jnp.cos(psi)]
+
+
+def _sincos_small(d):
+    """(sin d, cos d) for |d| <= ~0.7 by 7th/6th-order Taylor.
+
+    The advanced angles move by dt * (clamped input rates): |d_q| <= 0.3,
+    |d_psi| = dt |dpsi| <= ~0.65 even transiently (dpsi integrates clamped
+    dw).  Worst-case poly error at d = 0.7: sin 3e-9, cos 8e-7 — below
+    float32 resolution of the downstream FK/cost algebra."""
+    d2 = d * d
+    sd = d * (1.0 - d2 * ((1.0 / 6.0)
+                          - d2 * ((1.0 / 120.0) - d2 * (1.0 / 5040.0))))
+    cd = 1.0 - d2 * (0.5 - d2 * ((1.0 / 24.0) - d2 * (1.0 / 720.0)))
+    return sd, cd
+
+
+def _rot(s, c, sd, cd):
+    """(sin(a+d), cos(a+d)) from sin/cos of a and d — exact identity."""
+    return s * cd + c * sd, c * cd - s * sd
+
+
+def _trig_advance(tr, x, u, dt):
+    """Advance the trig carry across one dynamics step: the new angles are
+    q1 + dt u2, th + dt (u2-u3), be + dt (u2-u3-u4), psi + dt dpsi —
+    the exact increments of _dyn — so the rotation is the exact angle-sum
+    identity with only the tiny-delta sin/cos approximated."""
+    s1, c1, st, ct, sb, cb, sp, cp = tr
+    d1 = dt * u[2]
+    dth = dt * (u[2] - u[3])
+    dbe = dt * (u[2] - u[3] - u[4])
+    dps = dt * x[5]
+    sd, cd = _sincos_small(d1)
+    s1, c1 = _rot(s1, c1, sd, cd)
+    sd, cd = _sincos_small(dth)
+    st, ct = _rot(st, ct, sd, cd)
+    sd, cd = _sincos_small(dbe)
+    sb, cb = _rot(sb, cb, sd, cd)
+    sd, cd = _sincos_small(dps)
+    sp, cp = _rot(sp, cp, sd, cd)
+    return [s1, c1, st, ct, sb, cb, sp, cp]
+
+
+def _trig_retreat(tr, x, u, dt):
+    """Inverse of _trig_advance: given trig of stage k+1's angles and
+    (x_k, u_k), rotate BACK to stage k's trig — the backward Riccati
+    sweep's carry (valid because X is always the open-loop rollout of U,
+    solver/batched.py invariant)."""
+    s1, c1, st, ct, sb, cb, sp, cp = tr
+    d1 = dt * u[2]
+    dth = dt * (u[2] - u[3])
+    dbe = dt * (u[2] - u[3] - u[4])
+    dps = dt * x[5]
+    sd, cd = _sincos_small(d1)
+    s1, c1 = _rot(s1, c1, -sd, cd)
+    sd, cd = _sincos_small(dth)
+    st, ct = _rot(st, ct, -sd, cd)
+    sd, cd = _sincos_small(dbe)
+    sb, cb = _rot(sb, cb, -sd, cd)
+    sd, cd = _sincos_small(dps)
+    sp, cp = _rot(sp, cp, -sd, cd)
+    return [s1, c1, st, ct, sb, cb, sp, cp]
+
+
+def _fk_from_trig(x, tr):
+    """World-frame (ee, j2, j3) from the carried trig tiles — the same
+    algebra as models/mobile_manipulator.wholebody_fk (itself the reference
+    forward_tranformation, mobile_manipulator.py:17-55) with the sin/cos
+    factored out into the carry."""
+    px, py = x[0], x[1]
+    s1, c1, st, ct, sb, cb, sp, cp = tr
     x2 = A2 * s1 + A3 * c1
     z2 = A2 * c1 - A3 * s1
     x3 = x2 - A3 * ct + A5 * st
     z3 = z2 + A3 * st + A5 * ct
     xe = x3 + A6 * cb - A7 * sb
     ze = z3 - A6 * sb - A7 * cb
-    cp, sp = jnp.cos(psi), jnp.sin(psi)
 
     def lift(ax, az):
         r = ax + BASELINK2JOINT1_X
@@ -97,17 +184,17 @@ def _fk_world(x):
     return lift(xe, ze), lift(x2, z2), lift(x3, z3)
 
 
-def _dyn(x, u, dt):
-    """Tile-component wholebody_step (reference mobile_manipulator.py:57-75)."""
+def _dyn_tr(x, u, dt, sp, cp):
+    """Tile-component wholebody_step (reference mobile_manipulator.py:57-75)
+    with sin/cos(psi) supplied from the trig carry."""
     px, py, psi, dx, dy, dpsi = x[0], x[1], x[2], x[3], x[4], x[5]
     dV, dw = u[0], u[1]
-    c, s = jnp.cos(psi), jnp.sin(psi)
     return [
         px + dt * dx,
         py + dt * dy,
         psi + dt * dpsi,
-        dx + dt * (dV * c - dy * dpsi),
-        dy + dt * (dV * s + dx * dpsi),
+        dx + dt * (dV * cp - dy * dpsi),
+        dy + dt * (dV * sp + dx * dpsi),
         dpsi + dt * dw,
         x[6] + dt * u[2],
         x[7] + dt * u[3],
@@ -120,9 +207,9 @@ def _selfcol(ee, j2, j3):
     the *world origin* — reference quirk kept, mpc_wholebody_qref.py:219-222)."""
     checks = (
         [jnp.zeros_like(ee[0])] * 3,
-        [j2[c] / 2 for c in range(3)],
+        [j2[c] * 0.5 for c in range(3)],
         j2,
-        [(j2[c] + j3[c]) / 2 for c in range(3)],
+        [(j2[c] + j3[c]) * 0.5 for c in range(3)],
     )
     out = []
     for chk in checks:
@@ -158,6 +245,7 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
             ps_ulast):
     g = pl.program_id(1)
     mu = mu_ref[0, 0]
+    inv2mu = 0.5 / mu          # scalar: one divide instead of a tile divide
     S = S_ref[0, 0]
 
     def ld(ref, n):
@@ -180,13 +268,12 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
 
     @pl.when(g == 0)
     def _():
-        ee0, j20, j30 = _fk_world(Xk)
-        fk0 = ee0 + j20 + j30
+        tr0 = _trig_full(Xk)     # the only full sin/cos of the rollout
         for a in range(n_alpha):
             for i in range(nx):
                 x_s[a, i] = Xk[i]
-            for c in range(9):
-                fk_s[a, c] = fk0[c]
+            for c in range(8):
+                fk_s[a, c] = tr0[c]
             cost_s[a] = jnp.zeros((SUB, LANE), jnp.float32)
 
     # scalar half-plane liveness (same for every stage)
@@ -196,9 +283,8 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
 
     for a in range(n_alpha):
         x = [x_s[a, i] for i in range(nx)]
-        ee = [fk_s[a, c] for c in range(3)]
-        j2 = [fk_s[a, 3 + c] for c in range(3)]
-        j3 = [fk_s[a, 6 + c] for c in range(3)]
+        tr = [fk_s[a, c] for c in range(8)]
+        ee, j2, j3 = _fk_from_trig(x, tr)
 
         # -- control: feedforward + feedback, clamped to ulim ------------
         u = []
@@ -212,9 +298,10 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
                 acc = jnp.minimum(acc, u_hi[i])
             u.append(acc)
 
-        # -- dynamics + next-state FK (reused as next stage's FK) --------
-        xn = _dyn(x, u, dt)
-        een, j2n, j3n = _fk_world(xn)
+        # -- dynamics + advanced trig (reused as next stage's trig) ------
+        xn = _dyn_tr(x, u, dt, tr[6], tr[7])
+        trn = _trig_advance(tr, x, u, dt)
+        een, j2n, j3n = _fk_from_trig(xn, trn)
 
         # -- slack constraint group (ground + self-collision + hp union) -
         gs = []
@@ -230,11 +317,11 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
                       - jnp.sqrt(dx0 * dx0 + dy0 * dy0 + _EPS))
         gs += _selfcol(ee, j2, j3)
         pts = (
-            [j2[c] / 2 for c in range(3)],
+            [j2[c] * 0.5 for c in range(3)],
             j2,
-            [(j2[c] + j3[c]) / 2 for c in range(3)],
+            [(j2[c] + j3[c]) * 0.5 for c in range(3)],
             j3,
-            [(j3[c] + ee[c]) / 2 for c in range(3)],
+            [(j3[c] + ee[c]) * 0.5 for c in range(3)],
             ee,
         )
         for p in pts:
@@ -291,7 +378,7 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
             pen = term if pen is None else pen + term
         stage = inv_scale * (track + S * smax * smax)
         if pen is not None:
-            stage = stage + pen / (2.0 * mu)
+            stage = stage + pen * inv2mu
         cost_s[a] = cost_s[a] + stage
 
         # -- outputs + carry ---------------------------------------------
@@ -299,11 +386,10 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
             Xc_out[0, a, i, 0] = x[i]
         for i in range(nu):
             Uc_out[0, a, i, 0] = u[i]
-        fkn = een + j2n + j3n
         for i in range(nx):
             x_s[a, i] = xn[i]
-        for c in range(9):
-            fk_s[a, c] = fkn[c]
+        for c in range(8):
+            fk_s[a, c] = trn[c]
 
         @pl.when(g == N - 1)
         def _():
@@ -323,11 +409,11 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
                 gsN.append((orad + base_radius)
                            - jnp.sqrt(dx0 * dx0 + dy0 * dy0 + _EPS))
             ptsN = (
-                [j2n[c] / 2 for c in range(3)],
+                [j2n[c] * 0.5 for c in range(3)],
                 j2n,
-                [(j2n[c] + j3n[c]) / 2 for c in range(3)],
+                [(j2n[c] + j3n[c]) * 0.5 for c in range(3)],
                 j3n,
-                [(j3n[c] + een[c]) / 2 for c in range(3)],
+                [(j3n[c] + een[c]) * 0.5 for c in range(3)],
                 een,
             )
             for p in ptsN:
@@ -368,7 +454,7 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
                 peneq = peneq + lam_e[i] * h + 0.5 * mu * h * h
 
             cterm = (cost_s[a] + inv_scale * (trackN + S * smaxN * smaxN)
-                     + penN / (2.0 * mu) + peneq)
+                     + penN * inv2mu + peneq)
             for i in range(nx):
                 xlast_out[a, i, 0] = xn[i]
             cc_out[a, 0] = cterm
@@ -519,7 +605,7 @@ def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((n_alpha, nx, SUB, LANE), f32),
-                pltpu.VMEM((n_alpha, 9, SUB, LANE), f32),
+                pltpu.VMEM((n_alpha, 8, SUB, LANE), f32),   # trig carry
                 pltpu.VMEM((n_alpha, SUB, LANE), f32),
             ],
             compiler_params=pltpu.CompilerParams(

@@ -71,6 +71,47 @@ def controller_batched_fn(controller):
     return _with_stats(controller.batch_solve_fn())
 
 
+def sharded_task_loop_fn(run, mesh: Mesh, axis_name: str = "data"):
+    """shard_map a fleet task loop over the mesh's data axis.
+
+    ``run`` is a loop built by sim/batch_task_engine.make_batch_task_loop:
+    ``run(x_start_b, global_pose_target_b, carry0=None) ->
+    (TaskRolloutLog, carry)``.  Robots are embarrassingly parallel — state,
+    phase FSM, batched IK, and the primal/dual warm starts are all
+    per-robot — so every array (inputs, log, carry) shards on its leading
+    batch axis and no collective runs inside the tick; cross-chip movement
+    is the initial scatter and the log/checkpoint gather.  The carry
+    returned by one segment feeds the next segment SHARDED (chunked
+    dispatch stays multi-chip end-to-end, and the carry doubles as the
+    sharded fleet checkpoint payload).
+
+    The global batch must divide by the mesh size.  The scale-out twin of
+    the single-chip loop the reference runs one-robot-per-process
+    (/root/reference/interface_wholebody_qref.py:65-81); SURVEY.md §2.3.
+    """
+    data = P(axis_name)
+    # pytree-prefix specs: every leaf of the log and of the carry is
+    # batch-leading, so a single P("data") prefix covers both trees
+    fresh = jax.shard_map(
+        lambda x, g: run(x, g), mesh=mesh,
+        in_specs=(data, data), out_specs=(data, data), check_vma=False)
+    cont = jax.shard_map(
+        lambda x, g, c: run(x, g, c), mesh=mesh,
+        in_specs=(data, data, data), out_specs=(data, data),
+        check_vma=False)
+
+    def run_sharded(x_start_b, global_pose_target_b, carry0=None):
+        x_start_b = jax.device_put(
+            x_start_b, NamedSharding(mesh, data))
+        global_pose_target_b = jax.device_put(
+            global_pose_target_b, NamedSharding(mesh, data))
+        if carry0 is None:
+            return jax.jit(fresh)(x_start_b, global_pose_target_b)
+        return jax.jit(cont)(x_start_b, global_pose_target_b, carry0)
+
+    return run_sharded
+
+
 def sharded_solve_fn(solve_fn, mesh: Mesh, axis_name: str = "data",
                      batch_impl=None):
     """shard_map the batched solve over the mesh's data axis.

@@ -76,9 +76,16 @@ def main():
 
     loop_kw = (dict(rotate_exit_pos_tol=0.05, aim_at_button=True)
                if relax else {})
-    run = jax.jit(make_batch_task_loop(
+    loop = make_batch_task_loop(
         mpc.ocp, CFG, shared, t_move=sc.t_move, t_manipulate=sc.t_manipulate,
-        dt=sc.dt, n_ticks=CHUNK, ik_iters=40, **loop_kw))
+        dt=sc.dt, n_ticks=CHUNK, ik_iters=40, **loop_kw)
+    if len(jax.devices()) > 1:
+        # fleet scale-out: shard robots over the data mesh (embarrassingly
+        # parallel; the chunk carry stays sharded across segments)
+        from mmmpc_tpu.parallel import make_mesh, sharded_task_loop_fn
+        run = sharded_task_loop_fn(loop, make_mesh())
+    else:
+        run = jax.jit(loop)
 
     rng = np.random.default_rng(0)
     x0 = np.tile(sc.x_start, (batch, 1)).astype(np.float32)
