@@ -50,7 +50,21 @@ def main():
     # make_batch_task_loop docstring for why a blanket tolerance relaxation
     # is NOT safe (measured 42% completion).
     relax = "--relax" in sys.argv
-    global N_TICKS
+    global N_TICKS, CFG
+    # --al= / --ilqr= / --ilqr-later=: reduced warm-started budgets (the
+    # engine carries primal+dual warm starts across ticks, so most ticks
+    # should not need the cold-start schedule; VERDICT r4 #5 sweep)
+    budget = {}
+    for a in sys.argv[1:]:
+        if a.startswith("--al="):
+            budget["al_iters"] = int(a.split("=")[1])
+        elif a.startswith("--ilqr="):
+            budget["ilqr_iters"] = int(a.split("=")[1])
+        elif a.startswith("--ilqr-later="):
+            budget["ilqr_iters_later"] = int(a.split("=")[1])
+    if budget:
+        import dataclasses
+        CFG = dataclasses.replace(CFG, **budget)
     for a in sys.argv[1:]:
         if a.startswith("--ticks="):
             t = int(a.split("=")[1])
@@ -129,6 +143,8 @@ def main():
                        done_mask.argmax(axis=1), N_TICKS).astype(float)
     print(json.dumps({
         "scenario": scenario, "mode": "relaxed-exit" if relax else "parity",
+        "budget": f"al={CFG.al_iters} ilqr={CFG.ilqr_iters}"
+                  f"/{CFG.ilqr_iters_later or CFG.ilqr_iters}",
         "batch": batch, "n_ticks": N_TICKS,
         "horizon": N, "wall_s": round(dt_wall, 3),
         "completion_rate": round(float(done.mean()), 4),
