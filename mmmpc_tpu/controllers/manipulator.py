@@ -258,8 +258,10 @@ class MPCManipulator3DoF(ControllerBase):
                 return ([x[i] - qhi_f[i] for i in range(3)]
                         + [qlo_f[i] - x[i] for i in range(3)])
 
-            def stage(x, u, sm, g):
-                fk = gf.arm_fk_t(x[0], x[1], x[2])
+            dt_fwd = float(dt)
+
+            def stage(x, u, sm, g, carry):
+                fk = gf.arm_fk_from_trig_t(carry)
                 e = state_err(x, fk, sm, g)
                 eu = [u[i] - sm["U_ref"][g, i] for i in range(3)]
                 edu = [u[i] - sm["U_last"][g, i] for i in range(3)]
@@ -270,8 +272,8 @@ class MPCManipulator3DoF(ControllerBase):
                 sc = gf.self_collision_t(*fk, SELF_COLLISION_RADIUS)
                 return raw, qbox(x) + gdd + sc
 
-            def terminal(x, sm):
-                fk = gf.arm_fk_t(x[0], x[1], x[2])
+            def terminal(x, sm, carry):
+                fk = gf.arm_fk_from_trig_t(carry)
                 e = state_err(x, fk, sm, N)
                 raw = gf.qform_t(sm["P"], e) + slack_pen(fk, sm)
                 sc = gf.self_collision_t(*fk, SELF_COLLISION_RADIUS)
@@ -289,8 +291,14 @@ class MPCManipulator3DoF(ControllerBase):
                 pack=lambda p: {k: p[k] for k in (
                     "Q", "R", "P", "M", "X_ref", "U_ref", "U_last",
                     "hp_points", "hp_normals", "hp_mask")},
-                dyn=lambda x, u: [x[i] + dt * u[i] for i in range(3)],
-                stage=stage, terminal=terminal)
+                dyn=lambda x, u, carry: [x[i] + dt * u[i] for i in range(3)],
+                stage=stage, terminal=terminal,
+                # incremental trig: 6 sin/cos once per rollout, rotations
+                # by the dt-scaled clamped joint rates per stage
+                n_carry=6,
+                carry_init=lambda x, sm: gf.arm_trig_t(x[0], x[1], x[2]),
+                carry_step=lambda c, x, u, sm: gf.arm_trig_advance_t(
+                    c, dt_fwd * u[0], dt_fwd * u[1], dt_fwd * u[2]))
             alphas = [cfg.alpha_decay ** i for i in range(cfg.n_alpha)]
             return gf.make_generic_fwd_linesearch(
                 nx=3, nu=3, N=N, u_clamp=(dqlim_np[0], dqlim_np[1]),
@@ -298,6 +306,9 @@ class MPCManipulator3DoF(ControllerBase):
 
         def lanes_bwd_factory(cfg):
             from mmmpc_tpu.ops import generic_bwd as gb
+            from mmmpc_tpu.ops.generic_fwd import (
+                arm_trig_advance_t, arm_trig_t,
+            )
             from mmmpc_tpu.ops.wholebody_bwd import (
                 _add, _dot, _mul, _relu_max_grad,
             )
@@ -317,15 +328,11 @@ class MPCManipulator3DoF(ControllerBase):
             SELF_CHK = ((0.0, 0.0, 0.0), (0.5, 0.0, 0.0), (1.0, 0.0, 0.0),
                         (0.5, 0.5, 0.0))
 
-            def arm_partials(q):
+            def arm_partials(q, tr):
                 """Arm-frame FK coords + x/z q-partial tables (the arm-frame
-                subset of ops/wholebody_bwd._fk_partials)."""
-                q1, q2, q3 = q[0], q[1], q[2]
-                s1, c1 = jnp.sin(q1), jnp.cos(q1)
-                th = q1 - q2
-                st, ct = jnp.sin(th), jnp.cos(th)
-                be = th - q3
-                sb, cb = jnp.sin(be), jnp.cos(be)
+                subset of ops/wholebody_bwd._fk_partials) from the
+                incremental-trig sweep carry ``tr``."""
+                s1, c1, st, ct, sb, cb = tr
                 ax2 = A2 * s1 + A3 * c1
                 az2 = A2 * c1 - A3 * s1
                 D3 = A3 * st + A5 * ct
@@ -461,8 +468,8 @@ class MPCManipulator3DoF(ControllerBase):
                     rows.append((qlo_f[i] - q[i], gq))
                 return rows
 
-            def stage_quad(q, u, sm, k):
-                fk = arm_partials(q)
+            def stage_quad(q, u, sm, k, tr):
+                fk = arm_partials(q, tr)
                 lq, lqq = tracking(q, fk, sm, k, sm["Q"])
                 eu = [u[i] - sm["U_ref"][k, i] for i in range(3)]
                 edu = [u[i] - sm["U_last"][k, i] for i in range(3)]
@@ -485,8 +492,8 @@ class MPCManipulator3DoF(ControllerBase):
                 cons += [(v, gq, [0.0] * 3) for v, gq in selfcol_rows(fk)]
                 return lq, lu, lqq, luu, lux, cons
 
-            def term_quad(q, sm):
-                fk = arm_partials(q)
+            def term_quad(q, sm, tr):
+                fk = arm_partials(q, tr)
                 gq, Hqq = tracking(q, fk, sm, N, sm["P"])
                 return gq, Hqq, qbox_rows(q) + selfcol_rows(fk), []
 
@@ -501,12 +508,18 @@ class MPCManipulator3DoF(ControllerBase):
                 pack=lambda p: {k: p[k] for k in (
                     "Q", "R", "P", "M", "X_ref", "U_ref", "U_last",
                     "hp_points", "hp_normals", "hp_mask")},
-                dyn_jac=lambda q, u, sm, k: (
+                dyn_jac=lambda q, u, sm, k, tr: (
                     [[1.0 if i == j else 0.0 for j in range(3)]
                      for i in range(3)],
                     [[dt_f if i == j else 0.0 for j in range(3)]
                      for i in range(3)]),
-                stage_quad=stage_quad, term_quad=term_quad)
+                stage_quad=stage_quad, term_quad=term_quad,
+                # incremental trig run in reverse: terminal trig once,
+                # rotate back by dt * u (the clamped joint rates) per stage
+                n_carry=6,
+                carry_init=lambda xt, sm: arm_trig_t(xt[0], xt[1], xt[2]),
+                carry_retreat=lambda c, q, u, sm: arm_trig_advance_t(
+                    c, -dt_f * u[0], -dt_f * u[1], -dt_f * u[2]))
             return gb.make_generic_bwd_fused(nx=3, nu=3, N=N, hooks=hooks)
 
         ocp = OCP(nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,

@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from mmmpc_tpu.controllers.common import (
@@ -178,7 +179,9 @@ class MPCWholeBodyEndpoint(ControllerBase):
 
         def lanes_fwd_factory(cfg):
             from mmmpc_tpu.ops import generic_fwd as gf
-            from mmmpc_tpu.ops.wholebody_fwd import _fk_world, _dyn
+            from mmmpc_tpu.ops.wholebody_fwd import (
+                _dyn_tr, _fk_from_trig, _trig_advance, _trig_full,
+            )
             # static python floats/bools — jnp closures would become kernel
             # tracers under pallas
             xlo_f = [float(v) for v in np.asarray(x_lo)]
@@ -190,11 +193,13 @@ class MPCWholeBodyEndpoint(ControllerBase):
             dumlo_f = [bool(v) for v in np.asarray(du_mlo)]
             dumhi_f = [bool(v) for v in np.asarray(du_mhi)]
 
-            def dyn(x, u):
-                return _dyn(x, u, dt)
+            dt_fwd = float(dt)
 
-            def pose_err(x, sm, row):
-                ee, _, _ = _fk_world(x)
+            def dyn(x, u, carry):
+                return _dyn_tr(x, u, dt_fwd, carry[6], carry[7])
+
+            def pose_err(x, sm, row, carry):
+                ee, _, _ = _fk_from_trig(x, carry)
                 return [ee[0] - sm["X_ref"][row, 0],
                         ee[1] - sm["X_ref"][row, 1],
                         ee[2] - sm["X_ref"][row, 2],
@@ -215,8 +220,8 @@ class MPCWholeBodyEndpoint(ControllerBase):
                          for i in range(9)]
                 return rows
 
-            def stage(x, u, sm, g):
-                e = pose_err(x, sm, g)
+            def stage(x, u, sm, g, carry):
+                e = pose_err(x, sm, g, carry)
                 eu = [u[i] - sm["U_ref"][g, i] for i in range(5)]
                 edu = [u[i] - sm["U_last"][g, i] for i in range(5)]
                 raw = (gf.qform_t(sm["Q"], e) + gf.qform_t(sm["R"], eu)
@@ -227,8 +232,8 @@ class MPCWholeBodyEndpoint(ControllerBase):
                         else gf.NEG_BIG for i in range(5)]
                 return raw, box_x(x) + gdu
 
-            def terminal(x, sm):
-                e = pose_err(x, sm, N)
+            def terminal(x, sm, carry):
+                e = pose_err(x, sm, N, carry)
                 raw = gf.qform_t(sm["P"], e) + slack_pen(x, sm)
                 return raw, box_x(x), []
 
@@ -246,7 +251,12 @@ class MPCWholeBodyEndpoint(ControllerBase):
                              "X_ref": (N + 1, 4), "U_ref": (N, 5),
                              "U_last": (N, 5),
                              "obstacles": (max(n_obs, 1), 3)},
-                pack=pack, dyn=dyn, stage=stage, terminal=terminal)
+                pack=pack, dyn=dyn, stage=stage, terminal=terminal,
+                # incremental wholebody trig (8 sin/cos once per rollout)
+                n_carry=8,
+                carry_init=lambda x, sm: _trig_full(x),
+                carry_step=lambda c, x, u, sm: _trig_advance(
+                    c, x, u, dt_fwd))
             alphas = [cfg.alpha_decay ** i for i in range(cfg.n_alpha)]
             return gf.make_generic_fwd_linesearch(
                 nx=9, nu=5, N=N, u_clamp=(ulim_np[0], ulim_np[1]),
@@ -256,6 +266,9 @@ class MPCWholeBodyEndpoint(ControllerBase):
             from mmmpc_tpu.ops import generic_bwd as gb
             from mmmpc_tpu.ops.wholebody_bwd import (
                 _add, _dot, _fk_partials, _mul, _relu_max_grad,
+            )
+            from mmmpc_tpu.ops.wholebody_fwd import (
+                _trig_full, _trig_retreat,
             )
             two_s = 2.0 / cfg.cost_scale
             dt_f = float(dt)
@@ -268,9 +281,10 @@ class MPCWholeBodyEndpoint(ControllerBase):
             dumlo_f = [bool(v) for v in np.asarray(du_mlo)]
             dumhi_f = [bool(v) for v in np.asarray(du_mhi)]
 
-            def dyn_jac(x, u, sm, k):
-                # sparse closed form (models/mobile_manipulator.py:56-84)
-                cpsi, spsi = jnp.cos(x[2]), jnp.sin(x[2])
+            def dyn_jac(x, u, sm, k, tr):
+                # sparse closed form (models/mobile_manipulator.py:56-84);
+                # psi trig from the incremental sweep carry
+                spsi, cpsi = tr[6], tr[7]
                 A = [[1.0 if i == j else 0.0 for j in range(9)]
                      for i in range(9)]
                 A[0][3] = dt_f
@@ -300,15 +314,16 @@ class MPCWholeBodyEndpoint(ControllerBase):
                 for o in range(n_obs):
                     dx0 = x[0] - sm["obstacles"][o, 0]
                     dy0 = x[1] - sm["obstacles"][o, 1]
-                    d = jnp.sqrt(dx0 * dx0 + dy0 * dy0 + 1e-9)
-                    vals.append((sm["obstacles"][o, 2] + base_radius) - d)
-                    inv = 1.0 / d
+                    d2 = dx0 * dx0 + dy0 * dy0 + 1e-9
+                    inv = jax.lax.rsqrt(d2)     # no divide (roofline --peak)
+                    vals.append((sm["obstacles"][o, 2] + base_radius)
+                                - d2 * inv)
                     grads.append([-dx0 * inv, -dy0 * inv,
                                   0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
                 return _relu_max_grad(vals, grads, 9)
 
-            def pose_model(x, sm, row):
-                fk = _fk_partials(x)
+            def pose_model(x, sm, row, tr):
+                fk = _fk_partials(x, tr)
                 e = [fk["ee"][0] - sm["X_ref"][row, 0],
                      fk["ee"][1] - sm["X_ref"][row, 1],
                      fk["ee"][2] - sm["X_ref"][row, 2],
@@ -327,9 +342,9 @@ class MPCWholeBodyEndpoint(ControllerBase):
                 ]
                 return e, Jp
 
-            def tracking_blocks(x, sm, row, Wt):
+            def tracking_blocks(x, sm, row, Wt, tr):
                 """two_s * (Jp^T Wt e + S smax sx) and its GN Hessian."""
-                e, Jp = pose_model(x, sm, row)
+                e, Jp = pose_model(x, sm, row, tr)
                 smax, sx = slack_grads(x, sm)
                 S = sm["S"][0, 0]
                 Ssm = S * smax
@@ -366,8 +381,8 @@ class MPCWholeBodyEndpoint(ControllerBase):
                         rows.append((gb.NEG_BIG, [0.0] * 9))
                 return rows
 
-            def stage_quad(x, u, sm, k):
-                lx, lxx = tracking_blocks(x, sm, k, sm["Q"])
+            def stage_quad(x, u, sm, k, tr):
+                lx, lxx = tracking_blocks(x, sm, k, sm["Q"], tr)
                 eu = [u[i] - sm["U_ref"][k, i] for i in range(5)]
                 edu = [u[i] - sm["U_last"][k, i] for i in range(5)]
                 lu = [_mul(two_s,
@@ -392,8 +407,8 @@ class MPCWholeBodyEndpoint(ControllerBase):
                                 else (gb.NEG_BIG, [0.0] * 9, [0.0] * 5))
                 return lx, lu, lxx, luu, lux, cons
 
-            def term_quad(x, sm):
-                gx, Hxx = tracking_blocks(x, sm, N, sm["P"])
+            def term_quad(x, sm, tr):
+                gx, Hxx = tracking_blocks(x, sm, N, sm["P"], tr)
                 return gx, Hxx, box_rows_x(x), []
 
             def pack(p):
@@ -411,7 +426,13 @@ class MPCWholeBodyEndpoint(ControllerBase):
                              "U_last": (N, 5),
                              "obstacles": (max(n_obs, 1), 3)},
                 pack=pack, dyn_jac=dyn_jac, stage_quad=stage_quad,
-                term_quad=term_quad)
+                term_quad=term_quad,
+                # incremental wholebody trig in reverse (terminal trig
+                # once, rotate back by this stage's dt*(rates) deltas)
+                n_carry=8,
+                carry_init=lambda xt, sm: _trig_full(xt),
+                carry_retreat=lambda c, x, u, sm: _trig_retreat(
+                    c, x, u, dt_f))
             return gb.make_generic_bwd_fused(nx=9, nu=5, N=N, hooks=hooks)
 
         ocp = OCP(nx=self.NX, nu=self.NU, N=N, dynamics=dynamics,

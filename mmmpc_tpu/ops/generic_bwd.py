@@ -89,6 +89,16 @@ class BwdHooks:
     dyn_jac: Callable     # (x, u, smem, g) -> (A[nx][nx], Bm[nx][nu])
     stage_quad: Callable  # (x, u, smem, g) -> (lx, lu, lxx, luu, lux, cons)
     term_quad: Callable   # (x, smem) -> (gx, Hxx, cons_t, eqs)
+    # Optional VMEM sweep carry — the BACKWARD twin of generic_fwd's
+    # incremental-trig protocol: carry_init(xt, smem) evaluates the trig of
+    # the TERMINAL state once; carry_retreat(carry, x, u, smem) rotates it
+    # back by this stage's dt*(input-rate) deltas (valid because X is the
+    # open-loop rollout of U).  With n_carry set, ``term_quad`` receives
+    # the terminal carry and ``stage_quad``/``dyn_jac`` receive this
+    # stage's carry as an extra trailing argument.
+    n_carry: int = 0
+    carry_init: Callable = None
+    carry_retreat: Callable = None
 
 
 def _masked(val):
@@ -264,7 +274,10 @@ def make_generic_bwd_fused(*, nx, nu, N, hooks: BwdHooks, interpret=False):
         if ne:
             lame_in = refs[i]; i += 1
         reg_in = refs[i]; i += 1
-        kff_out, K_out, Vx_s, Vxx_s = refs[i:i + 4]
+        if hooks.n_carry:
+            kff_out, K_out, Vx_s, Vxx_s, carry_s = refs[i:i + 5]
+        else:
+            kff_out, K_out, Vx_s, Vxx_s = refs[i:i + 4]
 
         g = pl.program_id(1)
         k = N - 1 - g           # the stage this grid step processes
@@ -281,7 +294,13 @@ def make_generic_bwd_fused(*, nx, nu, N, hooks: BwdHooks, interpret=False):
         @pl.when(g == 0)
         def _():
             xt = ld_term(Xterm_in, nx)
-            gx, Hxx, cons_t, eqs = hooks.term_quad(xt, smem)
+            if hooks.n_carry:
+                ct = hooks.carry_init(xt, smem)
+                for r in range(hooks.n_carry):
+                    carry_s[r] = ct[r]
+                gx, Hxx, cons_t, eqs = hooks.term_quad(xt, smem, ct)
+            else:
+                gx, Hxx, cons_t, eqs = hooks.term_quad(xt, smem)
             assert len(cons_t) == nct, (len(cons_t), nct)
             assert len(eqs) == ne, (len(eqs), ne)
             lamt = ld_term(lamt_in, nct) if nct else []
@@ -296,10 +315,21 @@ def make_generic_bwd_fused(*, nx, nu, N, hooks: BwdHooks, interpret=False):
         uk = ld(U_in, nu)
         lam = ld(lam_in, nc) if nc else []
 
-        lx, lu, lxx, luu, lux, cons = hooks.stage_quad(xk, uk, smem, k)
-        assert len(cons) == nc, (len(cons), nc)
-        _al_rows_stage(cons, lam, mu, lx, lu, lxx, luu, lux, nx, nu)
-        A, Bm = hooks.dyn_jac(xk, uk, smem, k)
+        if hooks.n_carry:
+            c_next = [carry_s[r] for r in range(hooks.n_carry)]
+            c_k = hooks.carry_retreat(c_next, xk, uk, smem)
+            for r in range(hooks.n_carry):
+                carry_s[r] = c_k[r]
+            lx, lu, lxx, luu, lux, cons = hooks.stage_quad(
+                xk, uk, smem, k, c_k)
+            assert len(cons) == nc, (len(cons), nc)
+            _al_rows_stage(cons, lam, mu, lx, lu, lxx, luu, lux, nx, nu)
+            A, Bm = hooks.dyn_jac(xk, uk, smem, k, c_k)
+        else:
+            lx, lu, lxx, luu, lux, cons = hooks.stage_quad(xk, uk, smem, k)
+            assert len(cons) == nc, (len(cons), nc)
+            _al_rows_stage(cons, lam, mu, lx, lu, lxx, luu, lux, nx, nu)
+            A, Bm = hooks.dyn_jac(xk, uk, smem, k)
 
         Vx = [Vx_s[i_] for i_ in range(nx)]
         Vxx = [[Vxx_s[i_, j_] for j_ in range(nx)] for i_ in range(nx)]
@@ -381,10 +411,11 @@ def make_generic_bwd_fused(*, nx, nu, N, hooks: BwdHooks, interpret=False):
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((nx, SUB, LANE), f32),
-                pltpu.VMEM((nx, nx, SUB, LANE), f32),
-            ],
+            scratch_shapes=(
+                [pltpu.VMEM((nx, SUB, LANE), f32),
+                 pltpu.VMEM((nx, nx, SUB, LANE), f32)]
+                + ([pltpu.VMEM((hooks.n_carry, SUB, LANE), f32)]
+                   if hooks.n_carry else [])),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret or INTERPRET,

@@ -74,6 +74,22 @@ class LanesHooks:
     dyn: Callable                              # (x, u) -> x_next tiles
     stage: Callable                            # (x, u, smem, g) -> (cost, [nc])
     terminal: Callable                         # (x, smem) -> (cost, [nct], [ne])
+    # Optional VMEM rollout carry (incremental-trig protocol, round 5): a
+    # formulation whose stage/terminal hooks need sin/cos of state angles
+    # declares n_carry > 0 and supplies carry_init(x, smem) -> [n_carry
+    # tiles] (evaluated ONCE at stage 0 — the only full transcendental
+    # evaluation of the rollout) and carry_step(carry, x, u, smem) ->
+    # next-stage carry (the angle-addition rotation of
+    # ops/wholebody_fwd.py::_trig_advance).  With n_carry set, ``dyn``,
+    # ``stage`` and ``terminal`` receive the carry as an extra trailing
+    # argument: dyn(x, u, carry), stage(x, u, smem, g, carry),
+    # terminal(x, smem, carry) — where ``terminal`` gets the carry of x_N.
+    # Measured motivation: sin/cos cost ~50 FMA-slots each on the v5e VPU
+    # (scripts/roofline.py --peak), the dominant hidden cost of trig-heavy
+    # formulations (arm, endpoint).
+    n_carry: int = 0
+    carry_init: Callable = None
+    carry_step: Callable = None
 
 
 # ---------------------------------------------------------------------------
@@ -121,14 +137,35 @@ def ground_circles_t(px, py, obs_ref, n_obs, body_radius):
     return gs
 
 
-def arm_fk_t(q1, q2, q3):
-    """Arm-frame FK tiles: (ee, j2, j3), each [x, y, z] with y == 0.0
-    (models/arm.arm_fk; reference manipulator_3DoF.py:10-77)."""
-    s1, c1 = jnp.sin(q1), jnp.cos(q1)
+def arm_trig_t(q1, q2, q3):
+    """The 6 trig tiles of the arm FK: [s1, c1, st, ct, sb, cb] (sin/cos of
+    q1, th = q1-q2, be = th-q3) — the incremental-trig carry for arm-frame
+    formulations (LanesHooks.n_carry protocol)."""
     th = q1 - q2
-    st, ct = jnp.sin(th), jnp.cos(th)
     be = th - q3
-    sb, cb = jnp.sin(be), jnp.cos(be)
+    return [jnp.sin(q1), jnp.cos(q1), jnp.sin(th), jnp.cos(th),
+            jnp.sin(be), jnp.cos(be)]
+
+
+def arm_trig_advance_t(tr, du1, du2, du3):
+    """Advance the arm trig carry across q += (du1, du2, du3) (already
+    scaled by dt): exact angle-addition with small-angle sin/cos of the
+    deltas (ops/wholebody_fwd.py::_sincos_small)."""
+    from mmmpc_tpu.ops.wholebody_fwd import _rot, _sincos_small
+    s1, c1, st, ct, sb, cb = tr
+    sd, cd = _sincos_small(du1)
+    s1, c1 = _rot(s1, c1, sd, cd)
+    sd, cd = _sincos_small(du1 - du2)
+    st, ct = _rot(st, ct, sd, cd)
+    sd, cd = _sincos_small(du1 - du2 - du3)
+    sb, cb = _rot(sb, cb, sd, cd)
+    return [s1, c1, st, ct, sb, cb]
+
+
+def arm_fk_from_trig_t(tr):
+    """Arm-frame FK tiles (ee, j2, j3) from the trig carry — the same
+    algebra as arm_fk_t with sin/cos factored out."""
+    s1, c1, st, ct, sb, cb = tr
     x2 = A2 * s1 + A3 * c1
     z2 = A2 * c1 - A3 * s1
     x3 = x2 - A3 * ct + A5 * st
@@ -136,6 +173,12 @@ def arm_fk_t(q1, q2, q3):
     xe = x3 + A6 * cb - A7 * sb
     ze = z3 - A6 * sb - A7 * cb
     return [xe, 0.0, ze], [x2, 0.0, z2], [x3, 0.0, z3]
+
+
+def arm_fk_t(q1, q2, q3):
+    """Arm-frame FK tiles: (ee, j2, j3), each [x, y, z] with y == 0.0
+    (models/arm.arm_fk; reference manipulator_3DoF.py:10-77)."""
+    return arm_fk_from_trig_t(arm_trig_t(q1, q2, q3))
 
 
 def halfplane_union_t(points, hpo_ref, hpn_ref, hpm_ref, n_hp):
@@ -230,7 +273,11 @@ def make_generic_fwd_linesearch(*, nx, nu, N, u_clamp, alphas, inv_scale,
             lamt_in = refs[i]; i += 1
         if ne:
             lame_in = refs[i]; i += 1
-        Xc_out, Uc_out, xlast_out, cc_out, x_s, cost_s = refs[i:i + 6]
+        if hooks.n_carry:
+            (Xc_out, Uc_out, xlast_out, cc_out, x_s, cost_s,
+             carry_s) = refs[i:i + 7]
+        else:
+            Xc_out, Uc_out, xlast_out, cc_out, x_s, cost_s = refs[i:i + 6]
 
         g = pl.program_id(1)
         mu = mu_ref[0, 0]
@@ -248,13 +295,20 @@ def make_generic_fwd_linesearch(*, nx, nu, N, u_clamp, alphas, inv_scale,
 
         @pl.when(g == 0)
         def _():
+            if hooks.n_carry:
+                c0 = hooks.carry_init(Xk, smem)
             for a in range(n_alpha):
                 for r in range(nx):
                     x_s[a, r] = Xk[r]
+                if hooks.n_carry:
+                    for r in range(hooks.n_carry):
+                        carry_s[a, r] = c0[r]
                 cost_s[a] = jnp.zeros((SUB, LANE), f32)
 
         for a in range(n_alpha):
             x = [x_s[a, r] for r in range(nx)]
+            carry = ([carry_s[a, r] for r in range(hooks.n_carry)]
+                     if hooks.n_carry else None)
 
             # control: feedforward + feedback, clamped to the static ulim
             u = []
@@ -268,7 +322,10 @@ def make_generic_fwd_linesearch(*, nx, nu, N, u_clamp, alphas, inv_scale,
                     acc = jnp.minimum(acc, u_hi[r])
                 u.append(acc)
 
-            raw, gs = hooks.stage(x, u, smem, g)
+            if hooks.n_carry:
+                raw, gs = hooks.stage(x, u, smem, g, carry)
+            else:
+                raw, gs = hooks.stage(x, u, smem, g)
             stage = inv_scale * raw
             if nc:
                 assert len(gs) == nc, (len(gs), nc)
@@ -280,7 +337,13 @@ def make_generic_fwd_linesearch(*, nx, nu, N, u_clamp, alphas, inv_scale,
                 stage = stage + pen * inv2mu
             cost_s[a] = cost_s[a] + stage
 
-            xn = hooks.dyn(x, u)
+            if hooks.n_carry:
+                xn = hooks.dyn(x, u, carry)
+                carry_n = hooks.carry_step(carry, x, u, smem)
+                for r in range(hooks.n_carry):
+                    carry_s[a, r] = carry_n[r]
+            else:
+                xn = hooks.dyn(x, u)
             for r in range(nx):
                 Xc_out[0, a, r, 0] = x[r]
             for r in range(nu):
@@ -290,7 +353,10 @@ def make_generic_fwd_linesearch(*, nx, nu, N, u_clamp, alphas, inv_scale,
 
             @pl.when(g == N - 1)
             def _():
-                rawN, gts, hts = hooks.terminal(xn, smem)
+                if hooks.n_carry:
+                    rawN, gts, hts = hooks.terminal(xn, smem, carry_n)
+                else:
+                    rawN, gts, hts = hooks.terminal(xn, smem)
                 cterm = cost_s[a] + inv_scale * rawN
                 if nct:
                     assert len(gts) == nct, (len(gts), nct)
@@ -393,10 +459,11 @@ def make_generic_fwd_linesearch(*, nx, nu, N, u_clamp, alphas, inv_scale,
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((n_alpha, nx, SUB, LANE), f32),
-                pltpu.VMEM((n_alpha, SUB, LANE), f32),
-            ],
+            scratch_shapes=(
+                [pltpu.VMEM((n_alpha, nx, SUB, LANE), f32),
+                 pltpu.VMEM((n_alpha, SUB, LANE), f32)]
+                + ([pltpu.VMEM((n_alpha, hooks.n_carry, SUB, LANE), f32)]
+                   if hooks.n_carry else [])),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret or INTERPRET,

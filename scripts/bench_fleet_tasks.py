@@ -65,6 +65,12 @@ def main():
     if budget:
         import dataclasses
         CFG = dataclasses.replace(CFG, **budget)
+    dump_done = None
+    for a in sys.argv[1:]:
+        if a.startswith("--dump-done="):
+            # per-robot done_at dump (npz) — feeds the host-parity
+            # individual-level comparison (scripts/host_fleet_parity.py)
+            dump_done = a.split("=", 1)[1]
     for a in sys.argv[1:]:
         if a.startswith("--ticks="):
             t = int(a.split("=")[1])
@@ -141,6 +147,9 @@ def main():
     done_mask = phase_t == PHASE_DONE
     done_at = np.where(done_mask.any(axis=1),
                        done_mask.argmax(axis=1), N_TICKS).astype(float)
+    if dump_done:
+        np.savez(dump_done, done=done, done_at=done_at,
+                 final_phase=phase_t[:, -1])
     print(json.dumps({
         "scenario": scenario, "mode": "relaxed-exit" if relax else "parity",
         "budget": f"al={CFG.al_iters} ilqr={CFG.ilqr_iters}"
