@@ -47,7 +47,12 @@ REPS = 10
 # each later round, 3 line-search candidates at decay 0.35 — the cheapest
 # schedule that converges 100% of the batch from a cold start on the hardest
 # (manipulate-phase, all-constraints-active) problem.
-SOLVER_CFG = SolverConfig(al_iters=8, ilqr_iters=20, ilqr_iters_later=12,
+# Schedule re-swept in round 5 after the kernel op-count reductions
+# (scripts/sweep_schedule.py): 7 AL rounds x (20 first / 12 later) is now
+# the cheapest schedule converging 100% of the batch from a cold start
+# (max violation 4.1e-4, 2.4x below tol); every 80-88-iteration schedule
+# tried leaves 0.03-0.16% unconverged (sweep table in BASELINE.md).
+SOLVER_CFG = SolverConfig(al_iters=7, ilqr_iters=20, ilqr_iters_later=12,
                           cost_scale=1e5, constraint_tol=1e-3, n_alpha=3,
                           alpha_decay=0.35, scan_unroll=10)
 

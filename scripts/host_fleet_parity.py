@@ -100,6 +100,12 @@ def main():
         "final_flag_histogram": flags,
         "wall_s": round(wall, 1),
     }
+    for a in sys.argv[1:]:
+        if a.startswith("--dump="):
+            # per-robot rows for the individual-level comparison against
+            # the engine's --dump-done npz (same robot indices)
+            with open(a.split("=", 1)[1], "w") as fh:
+                json.dump(sorted(results, key=lambda r: r["idx"]), fh)
     print(json.dumps(out), flush=True)
 
 
