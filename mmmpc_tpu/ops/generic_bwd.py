@@ -12,9 +12,11 @@ This factory gives every formulation the qref treatment, exactly once:
 
 - hooks emit the per-stage quadratic model and the constraint rows as Python
   lists whose entries are literal floats or (8, 128) tiles (batch on lanes);
-  the constant-folding entry algebra (reused from ops/wholebody_bwd) skips
-  literal zeros at trace time, so a sparse dynamics Jacobian or a box-row
-  gradient costs only its live entries;
+  the constant-folding entry algebra and the Riccati stage step (shared
+  with ops/wholebody_bwd via ops/entry_algebra — ONE implementation for
+  both backward kernels since round 5) skip literal zeros at trace time,
+  so a sparse dynamics Jacobian or a box-row gradient costs only its live
+  entries;
 - the factory owns all PHR augmented-Lagrangian bookkeeping (t = max(0,
   lam + mu c), gradient += c_x^T t, Hessian += mu act c_x c_x^T — the exact
   semantics of the controllers' stage_al_expansion / terminal_al_expansion),
@@ -39,21 +41,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mmmpc_tpu.ops.wholebody_bwd import (  # constant-folding entry algebra
-    _add, _dot, _mul, _relu_max_grad, _zero,
+from mmmpc_tpu.ops.entry_algebra import (  # shared entry algebra (round 5)
+    _add, _as_tile, _dot, _mul, _zero, riccati_stage,
 )
+from mmmpc_tpu.ops.wholebody_bwd import _relu_max_grad  # noqa: F401
 
 SUB, LANE = 8, 128
 LANES = SUB * LANE
-
-
-def _as_tile(v):
-    """Literal floats AND 0-d tracers (SMEM weight entries) -> (8,128)."""
-    if isinstance(v, (int, float)):
-        return jnp.full((SUB, LANE), v, jnp.float32)
-    if getattr(v, "ndim", None) == 0:
-        return jnp.broadcast_to(v, (SUB, LANE))
-    return v
 
 # Set True to run kernels through the pallas interpreter (CPU testing).
 INTERPRET = False
@@ -164,86 +158,8 @@ def _al_rows_term(cons_t, eqs, lamt, lame, mu, gx, Hxx, nx):
                         Hxx[j][i] = _add(Hxx[j][i], h)
 
 
-def _riccati_stage(lx, lu, lxx, luu, lux, A, Bm, Vx, Vxx, reg, nx, nu):
-    """One backward Riccati step on entry lists (folds literal zeros in
-    A/Bm).  Returns (kff, K, Vx_new, Vxx_new) — same algebra as
-    ops/riccati.py::_kernel and the qref kernel's inline version."""
-    Qx = [_as_tile(_add(lx[i], _dot([A[p][i] for p in range(nx)], Vx)))
-          for i in range(nx)]
-    Qu = [_as_tile(_add(lu[i], _dot([Bm[p][i] for p in range(nx)], Vx)))
-          for i in range(nu)]
-    WA = [[_dot(Vxx[p], [A[q][j] for q in range(nx)])
-           for j in range(nx)] for p in range(nx)]          # Vxx A
-    WB = [[_dot(Vxx[p], [Bm[q][j] for q in range(nx)])
-           for j in range(nu)] for p in range(nx)]          # Vxx B
-    Qxx = [[_as_tile(_add(lxx[i][j],
-                          _dot([A[p][i] for p in range(nx)],
-                               [WA[p][j] for p in range(nx)])))
-            for j in range(nx)] for i in range(nx)]
-    Quu = [[_as_tile(_add(luu[i][j],
-                          _dot([Bm[p][i] for p in range(nx)],
-                               [WB[p][j] for p in range(nx)])))
-            for j in range(nu)] for i in range(nu)]
-    Qux = [[_as_tile(_add(lux[i][j],
-                          _dot([Bm[p][i] for p in range(nx)],
-                               [WA[p][j] for p in range(nx)])))
-            for j in range(nx)] for i in range(nu)]
-
-    # Cholesky of Quu + reg I, solve for [kff | K] — divides replaced by
-    # rsqrt-reciprocal multiplies (a divide costs ~7x an FMA slot on the
-    # VPU, measured by scripts/roofline.py --peak; see ops/wholebody_bwd.py)
-    rhs = [[Qu[i]] + Qux[i] for i in range(nu)]             # (nu, 1+nx)
-    L = [[None] * nu for _ in range(nu)]
-    Dinv = [None] * nu                                      # 1 / L[j][j]
-    for i in range(nu):
-        for j in range(i + 1):
-            s_ = Quu[i][j]
-            if i == j:
-                s_ = s_ + reg
-            for p in range(j):
-                s_ = s_ - L[i][p] * L[j][p]
-            if i == j:
-                Dinv[i] = jax.lax.rsqrt(s_)
-                L[i][i] = s_ * Dinv[i]                      # = sqrt(s_)
-            else:
-                L[i][j] = s_ * Dinv[j]
-    m_ = 1 + nx
-    Y = [[None] * m_ for _ in range(nu)]
-    for c in range(m_):
-        for i in range(nu):
-            s_ = rhs[i][c]
-            for p in range(i):
-                s_ = s_ - L[i][p] * Y[p][c]
-            Y[i][c] = s_ * Dinv[i]
-    Xs = [[None] * m_ for _ in range(nu)]
-    for c in range(m_):
-        for i in reversed(range(nu)):
-            s_ = Y[i][c]
-            for p in range(i + 1, nu):
-                s_ = s_ - L[p][i] * Xs[p][c]
-            Xs[i][c] = s_ * Dinv[i]
-    kff = [-Xs[i][0] for i in range(nu)]
-    K = [[-Xs[i][1 + j] for j in range(nx)] for i in range(nu)]
-
-    Quu_kff = [_dot(Quu[i], kff) for i in range(nu)]
-    Vx_n = []
-    for i in range(nx):
-        acc = Qx[i]
-        for p in range(nu):
-            acc = acc + K[p][i] * (Quu_kff[p] + Qu[p]) + Qux[p][i] * kff[p]
-        Vx_n.append(acc)
-    KtQuu = [[_dot([K[p][i] for p in range(nu)],
-                   [Quu[p][j] for p in range(nu)])
-              for j in range(nu)] for i in range(nx)]
-    Vxx_n = [[None] * nx for _ in range(nx)]
-    for i in range(nx):
-        for j in range(nx):
-            acc = Qxx[i][j]
-            for p in range(nu):
-                acc = (acc + KtQuu[i][p] * K[p][j]
-                       + K[p][i] * Qux[p][j] + Qux[p][i] * K[p][j])
-            Vxx_n[i][j] = acc
-    return kff, K, Vx_n, Vxx_n
+# _riccati_stage now lives in ops/entry_algebra.py (round-5
+# consolidation with ops/wholebody_bwd.py) as ``riccati_stage``.
 
 
 def make_generic_bwd_fused(*, nx, nu, N, hooks: BwdHooks, interpret=False):
@@ -334,7 +250,7 @@ def make_generic_bwd_fused(*, nx, nu, N, hooks: BwdHooks, interpret=False):
         Vx = [Vx_s[i_] for i_ in range(nx)]
         Vxx = [[Vxx_s[i_, j_] for j_ in range(nx)] for i_ in range(nx)]
         reg = reg_in[0]
-        kff, K, Vx_n, Vxx_n = _riccati_stage(
+        kff, K, Vx_n, Vxx_n = riccati_stage(
             lx, lu, lxx, luu, lux, A, Bm, Vx, Vxx, reg, nx, nu)
 
         for i_ in range(nx):
