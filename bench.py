@@ -27,7 +27,6 @@ import jax.numpy as jnp
 from mmmpc_tpu.controllers import MPCWholeBody
 from mmmpc_tpu.models.obstacles import Obstacles
 from mmmpc_tpu.models.robots import MobileManipulator
-from mmmpc_tpu.parallel import controller_batched_fn
 from mmmpc_tpu.utils.configs import SolverConfig, make_scenario
 
 N = 20
@@ -47,14 +46,20 @@ REPS = 10
 # each later round, 3 line-search candidates at decay 0.35 — the cheapest
 # schedule that converges 100% of the batch from a cold start on the hardest
 # (manipulate-phase, all-constraints-active) problem.
-# Schedule re-swept in round 5 after the kernel op-count reductions
-# (scripts/sweep_schedule.py): 7 AL rounds x (20 first / 12 later) is now
-# the cheapest schedule converging 100% of the batch from a cold start
-# (max violation 4.1e-4, 2.4x below tol); every 80-88-iteration schedule
-# tried leaves 0.03-0.16% unconverged (sweep table in BASELINE.md).
-SOLVER_CFG = SolverConfig(al_iters=7, ilqr_iters=20, ilqr_iters_later=12,
+# Round-5 production is the TWO-STAGE solve (solver/refine.py, swept by
+# scripts/sweep_refine.py): stage 1 runs the whole batch at 5 AL rounds x
+# (16 first / 10 later / 12 final) = 58 iterations — every single-stage
+# schedule this cheap leaves a 0.1-5% unconverged tail — then stage 2
+# re-solves the 1024 worst scenarios (one lane tile) warm-started with the
+# AL penalty schedule continued for 3x12 more rounds and merges back
+# violation-monotonically.  The merged batch converges 100% (max violation
+# 9.5e-4, deterministic) at ~206k solves/s vs 154-158k for the cheapest
+# 100%-converging single-stage schedule 7x(20,12).
+SOLVER_CFG = SolverConfig(al_iters=5, ilqr_iters=16, ilqr_iters_later=10,
+                          ilqr_iters_final=12,
                           cost_scale=1e5, constraint_tol=1e-3, n_alpha=3,
                           alpha_decay=0.35, scan_unroll=10)
+REFINE_ROUNDS, REFINE_SWEEPS = 3, 12
 
 
 def build_problem(batch):
@@ -86,13 +91,23 @@ def main():
     n_dev = len(jax.devices())
     batch = BATCH * n_dev          # keep per-chip batch constant
     mpc, x0_b, U0_b, params = build_problem(batch)
+    from mmmpc_tpu.solver.refine import continue_mu
+    refine_cfg = continue_mu(SOLVER_CFG, SOLVER_CFG.al_iters,
+                             al_iters=REFINE_ROUNDS,
+                             ilqr_iters=REFINE_SWEEPS,
+                             ilqr_iters_later=REFINE_SWEEPS,
+                             ilqr_iters_final=None)
     if n_dev > 1:
         # shard over all chips; stats reduce over ICI inside the program
+        # (each shard refines its own worst lane tile)
         from mmmpc_tpu.parallel import make_mesh, sharded_solve_fn
-        run = sharded_solve_fn(mpc.solve_fn(), make_mesh(),
-                               batch_impl=mpc.batch_solve_fn())
+        run = sharded_solve_fn(
+            mpc.solve_fn(), make_mesh(),
+            batch_impl=mpc.batch_solve_refined_fn(refine_cfg=refine_cfg))
     else:
-        run = jax.jit(controller_batched_fn(mpc))
+        from mmmpc_tpu.parallel.data_parallel import _with_stats
+        run = jax.jit(_with_stats(
+            mpc.batch_solve_refined_fn(refine_cfg=refine_cfg)))
 
     # compile + warm up
     res, stats = run(x0_b, U0_b, params)

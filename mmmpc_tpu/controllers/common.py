@@ -106,6 +106,17 @@ class ControllerBase:
         return lambda x0_b, U0_b, params: al_ilqr_solve_batched(
             ocp, x0_b, U0_b, params, cfg)
 
+    def batch_solve_refined_fn(self, refine_cfg=None, refine_size=None):
+        """(x0_b, U0_b, params) -> batched SolveResult with two-stage
+        straggler refinement (solver/refine.py): the whole batch at this
+        controller's schedule, then the ``refine_size`` worst scenarios
+        re-solved warm-started with the AL penalty schedule continued."""
+        from mmmpc_tpu.solver.refine import al_ilqr_solve_refined
+        ocp, cfg = self.ocp, self.solver_config
+        return lambda x0_b, U0_b, params: al_ilqr_solve_refined(
+            ocp, x0_b, U0_b, params, cfg, refine_cfg=refine_cfg,
+            refine_size=refine_size)
+
     def reset_warmstart(self):
         self.u_latest = None
         self.lam_latest = None

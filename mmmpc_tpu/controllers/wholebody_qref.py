@@ -374,6 +374,8 @@ class MPCWholeBody(ControllerBase):
             lanes_fwd_factory=lanes_fwd_factory,
             lanes_bwd_factory=lanes_bwd_factory,
             lanes_per_scenario_u_last=True,
+            lanes_per_scenario_keys=frozenset(
+                {"U_last", "X_ref", "U_ref", "Q", "P", "eq_mask"}),
             stage_cost=stage_cost, terminal_cost=terminal_cost,
             stage_ineq=stage_ineq, terminal_ineq=terminal_ineq,
             terminal_eq=terminal_eq,

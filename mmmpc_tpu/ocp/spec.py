@@ -100,6 +100,13 @@ class OCP:
     # False so the batched solver routes per-scenario params to the vmap
     # fallback instead of silently using one robot's values.
     lanes_per_scenario_u_last: bool = False
+    # Params keys BOTH lanes kernels can consume per-scenario (batch-minor
+    # trailing axis) as VMEM operands.  Superset of the U_last flag; the
+    # fleet task engine needs {"U_last", "X_ref", "Q", "P", "eq_mask"}
+    # (each robot's phase owns its reference window, weight-table row and
+    # terminal-equality mask).  Per-scenario Q/P must be DIAGONAL — the
+    # kernel wrappers extract and consume only the diagonals.
+    lanes_per_scenario_keys: frozenset = frozenset()
 
     # Fully-structured AL expansion (fastest of all): the controller returns
     # the complete gradient/Hessian blocks of the scaled AL stage/terminal

@@ -270,11 +270,12 @@ def _relu_max_grad(vals, grads, nvar):
 # --------------------------------------------------------------------------
 
 def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
-            xref_ref, uref_ref, ulast_ref, obs_ref, hpo_ref, hpn_ref,
-            hpm_ref, X_in, U_in, lam_in, xterm_in, lamt_in, lame_in,
-            reg_in, kff_out, K_out, Vx_s, Vxx_s, trig_s, *,
+            xref_ref, xreft_ref, uref_ref, ulast_ref, obs_ref, hpo_ref,
+            hpn_ref, hpm_ref, X_in, U_in, lam_in, xterm_in, lamt_in,
+            lame_in, reg_in, kff_out, K_out, Vx_s, Vxx_s, trig_s, *,
             nx, nu, N, dt, inv_scale, base_radius, n_obs, n_hp,
-            bug_compat, moving, x_bounds, du_bounds, ps_ulast):
+            bug_compat, moving, x_bounds, du_bounds, ps_ulast, ps_xref,
+            ps_qp, ps_eqm, ps_uref):
     from mmmpc_tpu.ops.wholebody_fwd import _trig_full, _trig_retreat
     g = pl.program_id(1)
     k = N - 1 - g            # stage index (backward)
@@ -291,6 +292,18 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
     def ld_term(ref, n):
         arr = ref[...][..., 0, :, :]
         return [arr[i] for i in range(n)]
+
+    # per-scenario references / weights (fleet task serving) — see
+    # ops/wholebody_fwd.py; per-scenario Q/P arrive as DIAGONAL tiles
+    xr_k = (ld(xref_ref, nx) if ps_xref
+            else [xref_ref[k, i] for i in range(nx)])
+    xr_N = (ld_term(xreft_ref, nx) if ps_xref
+            else [xref_ref[N, i] for i in range(nx)])
+    ur_k = (ld(uref_ref, nu) if ps_uref
+            else [uref_ref[k, i] for i in range(nu)])
+    qd = ld_term(Q_ref, nx) if ps_qp else None
+    pd = ld_term(P_ref, nx) if ps_qp else None
+    eqm_t = eqm_ref[0] if ps_eqm else eqm_ref[0, 0]
 
     def obs_vals(row):
         out = []
@@ -323,12 +336,15 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
             include_selfcol=not bug_compat)
         smax, sx = _relu_max_grad(vals, grads, nx)
 
-        ex = [xt[i] - xref_ref[N, i] for i in range(nx)]
+        ex = [xt[i] - xr_N[i] for i in range(nx)]
         gx = []
         for i in range(nx):
-            acc = 0.0
-            for j in range(nx):
-                acc = _add(acc, _mul(P_ref[i, j], ex[j]))
+            if ps_qp:
+                acc = _mul(pd[i], ex[i])
+            else:
+                acc = 0.0
+                for j in range(nx):
+                    acc = _add(acc, _mul(P_ref[i, j], ex[j]))
             gx.append(two_s * (_as_tile(acc) + S * smax * _as_tile(sx[i])))
         # box rows
         act_d = [0.0] * nx
@@ -346,17 +362,18 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
                 act_d[i] = _add(act_d[i], (lam_t[nx + i] + mu * c > 0)
                                 .astype(jnp.float32))
         # maskable terminal position equality (interface:167)
-        m = eqm_ref[0, 0]
+        m = eqm_t
         for i in range(2):
-            h = m * (xt[i] - xref_ref[N, i])
+            h = m * (xt[i] - xr_N[i])
             gx[i] = gx[i] + m * (lam_e[i] + mu * h)
 
         for i in range(nx):
             Vx_s[i] = gx[i]
             sxi = sx[i]
             for j in range(nx):
-                h = two_s * (P_ref[i, j]
-                             + S * _as_tile(_mul(sxi, sx[j])))
+                pij = (pd[i] if i == j else 0.0) if ps_qp else P_ref[i, j]
+                h = two_s * _as_tile(
+                    _add(pij, _mul(S, _mul(sxi, sx[j]))))
                 if i == j:
                     h = h + mu * _as_tile(act_d[i])
                     if i < 2:
@@ -427,8 +444,8 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
     sx = sgrad[:nx]
     su = sgrad[nx:]
 
-    ex = [xk[i] - xref_ref[k, i] for i in range(nx)]
-    eu = [uk[i] - uref_ref[k, i] for i in range(nu)]
+    ex = [xk[i] - xr_k[i] for i in range(nx)]
+    eu = [uk[i] - ur_k[i] for i in range(nu)]
     # per-scenario U_last arrives as a VMEM tile block indexed by this
     # stage's grid step; shared U_last as SMEM scalars
     if ps_ulast:
@@ -440,9 +457,12 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
     Ssm = S * smax
     lx = []
     for i in range(nx):
-        acc = 0.0
-        for j in range(nx):
-            acc = _add(acc, _mul(Q_ref[i, j], ex[j]))
+        if ps_qp:
+            acc = _mul(qd[i], ex[i])
+        else:
+            acc = 0.0
+            for j in range(nx):
+                acc = _add(acc, _mul(Q_ref[i, j], ex[j]))
         lx.append(two_s * (_as_tile(acc) + Ssm * _as_tile(sx[i])))
     lu = []
     for i in range(nu):
@@ -475,7 +495,8 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
             actu[i] = _add(actu[i], (z > 0).astype(jnp.float32))
 
     def lxx_e(i, j):
-        h = _add(two_s * Q_ref[i, j],
+        qij = (qd[i] if i == j else 0.0) if ps_qp else Q_ref[i, j]
+        h = _add(_mul(two_s, qij),
                  _mul(two_s * S, _mul(sx[i], sx[j])))
         if i == j:
             h = _add(h, _mul(mu, actx[i]))
@@ -529,12 +550,13 @@ def make_bwd_fused(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
     du_bounds = tuple(tuple(float(v) if i < 2 else bool(v) for v in b)
                       for i, b in enumerate(du_bounds))
 
-    def build_kernel(ps_ulast):
+    def build_kernel(ps_ulast, ps_xref, ps_qp, ps_eqm, ps_uref):
         return functools.partial(
             _kernel, nx=nx, nu=nu, N=N, dt=float(dt),
             inv_scale=float(inv_scale), base_radius=float(base_radius),
             n_obs=n_obs, n_hp=n_hp, bug_compat=bug_compat, moving=moving,
-            x_bounds=x_bounds, du_bounds=du_bounds, ps_ulast=ps_ulast)
+            x_bounds=x_bounds, du_bounds=du_bounds, ps_ulast=ps_ulast,
+            ps_xref=ps_xref, ps_qp=ps_qp, ps_eqm=ps_eqm, ps_uref=ps_uref)
 
     def smem(shape):
         return pl.BlockSpec(shape, lambda b, g: (0,) * len(shape),
@@ -567,7 +589,6 @@ def make_bwd_fused(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
 
         mu2 = jnp.asarray(mu, f32).reshape(1, 1)
         S2 = jnp.asarray(params["S"], f32).reshape(1, 1)
-        eqm = jnp.asarray(params["eq_mask"], f32).reshape(1, 1)
         Q = jnp.asarray(params["Q"], f32)
         R = jnp.asarray(params["R"], f32)
         W = jnp.asarray(params["W"], f32)
@@ -576,6 +597,22 @@ def make_bwd_fused(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
         U_ref = jnp.asarray(params["U_ref"], f32)
         U_last = jnp.asarray(params["U_last"], f32)
         ps_ulast = U_last.ndim == 3          # (N, nu, B) batch-minor
+        # fleet task serving: per-scenario references / weights / equality
+        # mask (batch-minor trailing axis); per-scenario Q/P must be
+        # DIAGONAL — only the diagonals reach the kernel
+        ps_xref = X_ref.ndim == 3            # (N+1, nx, B)
+        ps_qp = Q.ndim == 3                  # (nx, nx, B)
+        ps_eqm = jnp.ndim(params["eq_mask"]) == 1    # (B,)
+        ps_uref = U_ref.ndim == 3            # (N, nu, B)
+        eqm = (jnp.asarray(params["eq_mask"], f32) if ps_eqm
+               else jnp.asarray(params["eq_mask"], f32).reshape(1, 1))
+        if ps_qp:
+            Q = jnp.diagonal(Q, axis1=0, axis2=1).T      # (nx, B)
+            P = jnp.diagonal(P, axis1=0, axis2=1).T
+        if ps_xref:
+            X_ref, X_ref_term = X_ref[:N], X_ref[N]
+        else:
+            X_ref_term = jnp.zeros((1, 1), f32)          # unused dummy
         obs = jnp.asarray(params["obstacles"], f32)
         if n_obs == 0:
             obs = jnp.zeros((N + 1, 1, 3) if moving else (1, 3), f32)
@@ -588,9 +625,13 @@ def make_bwd_fused(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
 
         in_specs = [
             smem((1, 1)), smem((1, 1)),                       # mu, S
-            smem((nx, nx)), smem((nu, nu)), smem((nu, nu)),   # Q, R, W
-            smem((nx, nx)), smem((1, 1)),                     # P, eq_mask
-            smem((N + 1, nx)), smem((N, nu)),
+            (vspec_term((nx,)) if ps_qp else smem((nx, nx))),  # Q (diag)
+            smem((nu, nu)), smem((nu, nu)),                   # R, W
+            (vspec_term((nx,)) if ps_qp else smem((nx, nx))),  # P (diag)
+            (vspec_term(()) if ps_eqm else smem((1, 1))),     # eq_mask
+            (vspec((nx,)) if ps_xref else smem((N + 1, nx))),  # X_ref
+            (vspec_term((nx,)) if ps_xref else smem((1, 1))),  # X_ref term
+            (vspec((nu,)) if ps_uref else smem((N, nu))),      # U_ref
             (vspec((nu,)) if ps_ulast else smem((N, nu))),
             (smem((N + 1, max(n_obs, 1), 3)) if moving
              else smem((max(n_obs, 1), 3))),
@@ -606,7 +647,7 @@ def make_bwd_fused(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
         ]
 
         kff_t, K_t = pl.pallas_call(
-            build_kernel(ps_ulast),
+            build_kernel(ps_ulast, ps_xref, ps_qp, ps_eqm, ps_uref),
             grid=(nb, N),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -619,7 +660,11 @@ def make_bwd_fused(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret or INTERPRET,
-        )(mu2, S2, Q, R, W, P, eqm, X_ref, U_ref,
+        )(mu2, S2, tile(Q) if ps_qp else Q, R, W,
+          tile(P) if ps_qp else P, tile(eqm) if ps_eqm else eqm,
+          tile(X_ref) if ps_xref else X_ref,
+          tile(X_ref_term) if ps_xref else X_ref_term,
+          tile(U_ref) if ps_uref else U_ref,
           tile(U_last) if ps_ulast else U_last, obs,
           hp_o, hp_n, hp_m, tile(X_bm[:-1]), tile(U_bm), tile(lam_bm),
           tile(X_bm[-1]), tile(lamt_bm), tile(lame_bm), tile(reg_b))

@@ -235,14 +235,14 @@ def _qform(M_ref, e, n):
 
 
 def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
-            xref_ref, uref_ref,
+            xref_ref, xreft_ref, uref_ref,
             ulast_ref, obs_ref, obst_ref, hpo_ref, hpn_ref, hpm_ref,
             X_in, U_in, kff_in, K_in, lam_in, lamt_in, lame_in,
             Xc_out, Uc_out, xlast_out, cc_out,
             x_s, fk_s, cost_s, *,
             nx, nu, N, n_alpha, alphas, dt, inv_scale, base_radius,
             n_obs, n_hp, bug_compat, moving, x_bounds, du_bounds, u_clamp,
-            ps_ulast):
+            ps_ulast, ps_xref, ps_qp, ps_eqm, ps_uref):
     g = pl.program_id(1)
     mu = mu_ref[0, 0]
     inv2mu = 0.5 / mu          # scalar: one divide instead of a tile divide
@@ -250,6 +250,11 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
 
     def ld(ref, n):
         arr = ref[0][..., 0, :, :]
+        return [arr[i] for i in range(n)]
+
+    def ld_b(ref, n):
+        # per-batch-block operand with no stage axis (bspec lead)
+        arr = ref[...][..., 0, :, :]
         return [arr[i] for i in range(n)]
 
     Xk = ld(X_in, nx)
@@ -261,6 +266,20 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
     # sequence) arrives as a VMEM tile block; shared U_last as SMEM scalars
     ul = ld(ulast_ref, nu) if ps_ulast else \
         [ulast_ref[g, i] for i in range(nu)]
+    # per-scenario references / weights (fleet task serving: each robot's
+    # phase owns its reference window + weight-table row + equality mask);
+    # per-scenario Q/P are DIAGONALS (the wrapper extracts them — the task
+    # weight tables are diagonal, and a diagonal keeps the tracking cost at
+    # nx tiles instead of nx^2)
+    xr_k = ld(xref_ref, nx) if ps_xref else \
+        [xref_ref[g, i] for i in range(nx)]
+    ur_k = ld(uref_ref, nu) if ps_uref else \
+        [uref_ref[g, i] for i in range(nu)]
+    qd = ld_b(Q_ref, nx) if ps_qp else None
+    pd = ld_b(P_ref, nx) if ps_qp else None
+    eqm_t = eqm_ref[0] if ps_eqm else eqm_ref[0, 0]
+    xr_N = (ld_b(xreft_ref, nx) if ps_xref
+            else [xref_ref[N, i] for i in range(nx)])
 
     x_lo, x_hi, x_mlo, x_mhi = x_bounds
     du_lo, du_hi, du_mlo, du_mhi = du_bounds
@@ -346,11 +365,17 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
         smax = jnp.maximum(gmax, 0.0)
 
         # -- quadratic tracking costs ------------------------------------
-        ex = [x[i] - xref_ref[g, i] for i in range(nx)]
-        eu = [u[i] - uref_ref[g, i] for i in range(nu)]
+        ex = [x[i] - xr_k[i] for i in range(nx)]
+        eu = [u[i] - ur_k[i] for i in range(nu)]
         edu = [u[i] - ul[i] for i in range(nu)]
-        track = (_qform(Q_ref, ex, nx) + _qform(R_ref, eu, nu)
-                 + _qform(W_ref, edu, nu))
+        if ps_qp:
+            track = None
+            for i in range(nx):
+                t = qd[i] * ex[i] * ex[i]
+                track = t if track is None else track + t
+        else:
+            track = _qform(Q_ref, ex, nx)
+        track = track + _qform(R_ref, eu, nu) + _qform(W_ref, edu, nu)
 
         # -- PHR penalty on the box constraints (static rows unrolled).
         # Masked (infinite-bound) rows have c = -1e9, so t = 0 — but the
@@ -397,8 +422,14 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
             # P-tracking + S*relu_max(terminal slack groups)^2 + PHR on the
             # terminal state boxes + the maskable position equality).  The
             # FK of xn is already in registers — no extra horizon pass.
-            exN = [xn[i] - xref_ref[N, i] for i in range(nx)]
-            trackN = _qform(P_ref, exN, nx)
+            exN = [xn[i] - xr_N[i] for i in range(nx)]
+            if ps_qp:
+                trackN = None
+                for i in range(nx):
+                    t = pd[i] * exN[i] * exN[i]
+                    trackN = t if trackN is None else trackN + t
+            else:
+                trackN = _qform(P_ref, exN, nx)
 
             gsN = []
             for o in range(n_obs):
@@ -447,10 +478,9 @@ def _kernel(mu_ref, S_ref, Q_ref, R_ref, W_ref, P_ref, eqm_ref,
                     penN = term if penN is None else penN + term
 
             lam_e = [lame_in[i, 0] for i in range(2)]
-            eqm = eqm_ref[0, 0]
             peneq = jnp.zeros((SUB, LANE), jnp.float32)
             for i in range(2):
-                h = eqm * (xn[i] - xref_ref[N, i])
+                h = eqm_t * (xn[i] - xr_N[i])
                 peneq = peneq + lam_e[i] * h + 0.5 * mu * h * h
 
             cterm = (cost_s[a] + inv_scale * (trackN + S * smaxN * smaxN)
@@ -488,14 +518,15 @@ def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
     u_clamp = tuple(tuple(float(v) for v in b) for b in u_clamp)
     alphas = tuple(float(a) for a in alphas)
 
-    def build_kernel(ps_ulast):
+    def build_kernel(ps_ulast, ps_xref, ps_qp, ps_eqm, ps_uref):
         return functools.partial(
             _kernel, nx=nx, nu=nu, N=N, n_alpha=n_alpha, alphas=alphas,
             dt=float(dt), inv_scale=float(inv_scale),
             base_radius=float(base_radius), n_obs=n_obs, n_hp=n_hp,
             bug_compat=bug_compat, moving=moving,
             x_bounds=x_bounds, du_bounds=du_bounds, u_clamp=u_clamp,
-            ps_ulast=ps_ulast)
+            ps_ulast=ps_ulast, ps_xref=ps_xref, ps_qp=ps_qp,
+            ps_eqm=ps_eqm, ps_uref=ps_uref)
 
     def smem(shape):
         # whole-array SMEM blocks (TPU lowering requires block == array for
@@ -534,11 +565,26 @@ def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
         R = jnp.asarray(params["R"], f32)
         W = jnp.asarray(params["W"], f32)
         P = jnp.asarray(params["P"], f32)
-        eqm = jnp.asarray(params["eq_mask"], f32).reshape(1, 1)
         X_ref = jnp.asarray(params["X_ref"], f32)
         U_ref = jnp.asarray(params["U_ref"], f32)
         U_last = jnp.asarray(params["U_last"], f32)
         ps_ulast = U_last.ndim == 3          # (N, nu, B) batch-minor
+        # fleet task serving: per-scenario references / weights / equality
+        # mask (batch-minor trailing axis).  Per-scenario Q/P must be
+        # DIAGONAL — the kernel consumes only the diagonals.
+        ps_xref = X_ref.ndim == 3            # (N+1, nx, B)
+        ps_qp = Q.ndim == 3                  # (nx, nx, B)
+        ps_eqm = jnp.ndim(params["eq_mask"]) == 1    # (B,)
+        ps_uref = U_ref.ndim == 3            # (N, nu, B)
+        eqm = (jnp.asarray(params["eq_mask"], f32) if ps_eqm
+               else jnp.asarray(params["eq_mask"], f32).reshape(1, 1))
+        if ps_qp:
+            Q = jnp.diagonal(Q, axis1=0, axis2=1).T      # (nx, B)
+            P = jnp.diagonal(P, axis1=0, axis2=1).T
+        if ps_xref:
+            X_ref, X_ref_term = X_ref[:N], X_ref[N]
+        else:
+            X_ref_term = jnp.zeros((1, 1), f32)          # unused dummy
         obs = jnp.asarray(params["obstacles"], f32)
         if n_obs == 0:
             obs_t = jnp.zeros((1, 3), f32)
@@ -565,10 +611,13 @@ def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
 
         in_specs = [
             smem((1, 1)), smem((1, 1)),                      # mu, S
-            smem((nx, nx)), smem((nu, nu)), smem((nu, nu)),  # Q, R, W
-            smem((nx, nx)), smem((1, 1)),                    # P, eq_mask
-            smem((N + 1, nx)),                               # X_ref
-            smem((N, nu)),                                   # U_ref
+            (bspec((nx,)) if ps_qp else smem((nx, nx))),     # Q (diag if ps)
+            smem((nu, nu)), smem((nu, nu)),                  # R, W
+            (bspec((nx,)) if ps_qp else smem((nx, nx))),     # P (diag if ps)
+            (bspec(()) if ps_eqm else smem((1, 1))),         # eq_mask
+            (vspec((nx,)) if ps_xref else smem((N + 1, nx))),  # X_ref
+            (bspec((nx,)) if ps_xref else smem((1, 1))),     # X_ref terminal
+            (vspec((nu,)) if ps_uref else smem((N, nu))),    # U_ref
             (vspec((nu,)) if ps_ulast else smem((N, nu))),   # U_last
             (smem((N, max(n_obs, 1), 3)) if moving
              else smem((max(n_obs, 1), 3))),
@@ -598,7 +647,7 @@ def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
         ]
 
         Xc, Uc, xlast, cc = pl.pallas_call(
-            build_kernel(ps_ulast),
+            build_kernel(ps_ulast, ps_xref, ps_qp, ps_eqm, ps_uref),
             grid=(nb, N),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -611,7 +660,11 @@ def make_fwd_linesearch(*, nx, nu, N, dt, base_radius, n_obs, n_hp,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret or INTERPRET,
-        )(mu2, S2, Q, R, W, P, eqm, X_ref, U_ref,
+        )(mu2, S2, tile(Q) if ps_qp else Q, R, W,
+          tile(P) if ps_qp else P, tile(eqm) if ps_eqm else eqm,
+          tile(X_ref) if ps_xref else X_ref,
+          tile(X_ref_term) if ps_xref else X_ref_term,
+          tile(U_ref) if ps_uref else U_ref,
           tile(U_last) if ps_ulast else U_last, obs, obs_t,
           hp_o, hp_n, hp_m,
           tile(X_bm), tile(U_bm), tile(kff_bm), tile(K_bm), tile(lam_bm),

@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from mmmpc_tpu.solver import al_ilqr_solve, shift_multipliers
+from mmmpc_tpu.solver import al_ilqr_solve_batched, shift_multipliers
 from mmmpc_tpu.utils.configs import SolverConfig
 
 
@@ -60,18 +60,7 @@ def make_batch_closed_loop(ocp, cfg: SolverConfig, shared_params,
     N = ocp.N
     dist_idx = jnp.asarray(distance_index)
 
-    def solve_one(x, U_warm, lams, traj_ref, u_ref, batch_hint):
-        X_ref, U_ref = _local_window(traj_ref, u_ref, x, dist_idx, N)
-        params = dict(shared_params, X_ref=X_ref, U_ref=U_ref, U_last=U_warm)
-        # batch_hint: the fleet width of the surrounding vmap — without it a
-        # long-horizon fleet would auto-select the associative-scan Riccati
-        # in its 10-40x-slower large-batch quadrant (BASELINE.md)
-        res = al_ilqr_solve(ocp, x, U_warm, params, cfg, lam0=lams,
-                            batch_hint=batch_hint)
-        return res
-
-    def per_scenario(x, U_warm, lams, traj_ref, u_ref, *, batch_hint):
-        res = solve_one(x, U_warm, lams, traj_ref, u_ref, batch_hint)
+    def post_solve(x, U_warm, lams, res):
         u_new = res.U
         ok = (jnp.all(jnp.isfinite(u_new))
               & (res.max_violation < fallback_violation))
@@ -92,9 +81,24 @@ def make_batch_closed_loop(ocp, cfg: SolverConfig, shared_params,
 
         def tick(carry, _):
             x_b, U_b, lam_b = carry
+            # per-robot reference windows (vmapped nearest-point search),
+            # then ONE batched solve with per-robot params — on TPU with
+            # B % 1024 == 0 this rides both fused Pallas lanes kernels
+            # (X_ref / U_ref / U_last as batch-minor VMEM operands);
+            # al_ilqr_solve_batched's vmap fallback computes the identical
+            # per-robot solves elsewhere (and resolves use_assoc_scan with
+            # the true fleet width)
+            X_ref_b, U_ref_b = jax.vmap(
+                lambda t, u, x: _local_window(t, u, x, dist_idx, N))(
+                    traj_ref_b, u_ref_b, x_b)
+            params_b = dict(shared_params,
+                            X_ref=jnp.moveaxis(X_ref_b, 0, -1),
+                            U_ref=jnp.moveaxis(U_ref_b, 0, -1),
+                            U_last=jnp.moveaxis(U_b, 0, -1))
+            res = al_ilqr_solve_batched(ocp, x_b, U_b, params_b, cfg,
+                                        lam0_b=lam_b)
             (x_next, U_next, lam_next, u0, cost, viol, fb) = jax.vmap(
-                lambda *a: per_scenario(*a, batch_hint=B))(
-                    x_b, U_b, lam_b, traj_ref_b, u_ref_b)
+                post_solve)(x_b, U_b, lam_b, res)
             return (x_next, U_next, lam_next), (x_next, u0, cost, viol, fb)
 
         U0_b = jnp.zeros((B, N, ocp.nu), x0_b.dtype)

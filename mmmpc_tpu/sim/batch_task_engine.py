@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from mmmpc_tpu.models.arm import arm_ik
 from mmmpc_tpu.models.mobile_manipulator import wholebody_fk
-from mmmpc_tpu.solver import al_ilqr_solve, shift_multipliers
+from mmmpc_tpu.solver import al_ilqr_solve_batched, shift_multipliers
 from mmmpc_tpu.utils.configs import (
     BASELINK2JOINT1_X, BASELINK2JOINT1_Z, SolverConfig, WORKING_RADIUS,
 )
@@ -76,7 +76,8 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
                          rotate_exit_pos_tol: float = 0.01,
                          rotate_exit_yaw_tol: float = 0.5 * np.pi / 180.0,
                          aim_at_button: bool = False,
-                         stuck_ticks: int = 25):
+                         stuck_ticks: int = 25,
+                         host_parity_solver: bool = False):
     """Build run(x_start_b, global_pose_target_b) -> TaskRolloutLog.
 
     ocp: the whole-body qref OCP (MPCWholeBody(...).ocp); shared_params: the
@@ -102,6 +103,20 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
     button wherever the base settled and the IK absorbs the range
     difference.
     """
+    if host_parity_solver:
+        # Pin the solver to the vmapped per-scenario path (no Pallas
+        # kernels).  The task FSM's rotate-exit gates (1 cm / 0.5 deg,
+        # reference interface:192-197) sit on a knife edge relative to the
+        # solver's float32 lowering: the lanes kernels and the vmapped path
+        # are equally-valid f32 solvers whose iterates diverge in the
+        # near-infeasible rotate-equality regime, and parity-mode fleet
+        # completion lands at a measurably different point (89.55% vmapped
+        # vs 70.5% lanes at the 6x12 budget; recovery mode retires the
+        # difference — see BASELINE.md).  Use this flag when reproducing
+        # the host Interface's completion regime matters more than tick
+        # cost (~10x slower).
+        import dataclasses
+        cfg = dataclasses.replace(cfg, use_pallas_riccati=False)
     N = ocp.N
     nx, nu = ocp.nx, ocp.nu
     T_move = int(round(t_move / dt))
@@ -116,8 +131,10 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
         rows = jnp.minimum(mi + ks_traj, traj.shape[0] - 1)
         return traj[rows]
 
-    def per_scenario(x, U_warm, lams, phase, traj_move, traj_man, gpt,
-                     x_target, aux, *, batch_hint):
+    def fsm_pre(x, phase, traj_move, traj_man, gpt, x_target, aux):
+        """Per-robot FSM transitions + reference construction (everything
+        BEFORE the solve).  Returns the updated (phase, traj_man, aux) and
+        this tick's per-robot solve parameters (X_ref, QP, eq_mask)."""
         # aux = (best_ee_err, stale_ticks, rot_ticks): the stuck detectors'
         # carry (recovery mode only; zeros-cost otherwise)
         best_err, stale, rot_ticks = aux
@@ -223,14 +240,11 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
                          jnp.where(phase == PHASE_ROTATE, 1, 0))
         QP = Wtab[widx]
         eq_mask = (phase >= PHASE_APPROACH).astype(x.dtype)
+        return phase, traj_man, aux, X_ref, QP, eq_mask
 
-        params = dict(shared_params, X_ref=X_ref, U_ref=U_ref,
-                      U_last=U_warm, Q=QP, P=QP, eq_mask=eq_mask)
-        # batch_hint = fleet width: keeps use_assoc_scan="auto" off the
-        # associative-scan path at fleet batch sizes (see batch_engine.py)
-        res = al_ilqr_solve(ocp, x, U_warm, params, cfg, lam0=lams,
-                            batch_hint=batch_hint)
-
+    def post_solve(x, U_warm, lams, phase, res):
+        """Per-robot post-solve bookkeeping (fallback select, dual shift,
+        done-hold, plant step)."""
         ok = jnp.all(jnp.isfinite(res.U)) & (res.max_violation < 1.0)
         u_shift = jnp.concatenate([U_warm[1:], U_warm[-1:]], axis=0)
         U_applied = jnp.where(ok, res.U, u_shift)
@@ -241,8 +255,7 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
         is_done = phase == PHASE_DONE
         u0 = jnp.where(is_done, 0.0, U_applied[0])
         x_next = jnp.where(is_done, x, ocp.dynamics(x, U_applied[0]))
-        return (x_next, U_applied, lams, phase, traj_man, aux, u0,
-                res.cost, res.max_violation)
+        return x_next, U_applied, lams, u0
 
     def run(x_start_b, global_pose_target_b, carry0=None):
         """One n_ticks segment of the fleet task loop.
@@ -298,13 +311,33 @@ def make_batch_task_loop(ocp, cfg: SolverConfig, shared_params,
 
         def tick(carry, _):
             x_b, U_b, lam_b, phase_b, man_b, aux_b = carry
-            (x_n, U_n, lam_n, phase_n, man_n, aux_n, u0, cost,
-             viol) = jax.vmap(
-                lambda *a: per_scenario(*a, batch_hint=B))(
-                    x_b, U_b, lam_b, phase_b, traj_move_b, man_b,
-                    global_pose_target_b, x_target_b, aux_b)
+            # 1) per-robot FSM + references (vmapped — cheap elementwise)
+            phase_n, man_n, aux_n, X_ref_b, QP_b, eqm_b = jax.vmap(fsm_pre)(
+                x_b, phase_b, traj_move_b, man_b, global_pose_target_b,
+                x_target_b, aux_b)
+            # 2) ONE batched solve for the whole fleet with per-robot params
+            # (batch-minor trailing axis).  On TPU with B % 1024 == 0 this
+            # rides BOTH fused Pallas lanes kernels (the per-robot X_ref /
+            # Q / P / eq_mask / U_last arrive as VMEM operands,
+            # ops/wholebody_{fwd,bwd}.py) — measured ~30x cheaper per
+            # robot-tick than the vmapped per-scenario solve this replaces;
+            # elsewhere al_ilqr_solve_batched's vmap fallback computes the
+            # identical per-robot solves.
+            params_b = dict(
+                shared_params,
+                X_ref=jnp.moveaxis(X_ref_b, 0, -1),       # (N+1, nx, B)
+                U_ref=jnp.zeros((N, nu), x_b.dtype),
+                U_last=jnp.moveaxis(U_b, 0, -1),          # (N, nu, B)
+                Q=jnp.moveaxis(QP_b, 0, -1),              # (nx, nx, B)
+                P=jnp.moveaxis(QP_b, 0, -1),
+                eq_mask=eqm_b)                            # (B,)
+            res = al_ilqr_solve_batched(ocp, x_b, U_b, params_b, cfg,
+                                        lam0_b=lam_b)
+            # 3) per-robot post-solve bookkeeping (vmapped)
+            x_n, U_n, lam_n, u0 = jax.vmap(post_solve)(
+                x_b, U_b, lam_b, phase_n, res)
             return ((x_n, U_n, lam_n, phase_n, man_n, aux_n),
-                    (x_n, u0, phase_n, cost, viol))
+                    (x_n, u0, phase_n, res.cost, res.max_violation))
 
         carry, (Xs, Us, phases, costs, viols) = jax.lax.scan(
             tick, carry0, None, length=n_ticks)

@@ -38,12 +38,24 @@ def _params_axes(params, batched_keys):
 def _per_scenario_keys(params):
     """Params entries carrying a per-scenario trailing batch axis.
 
-    Convention (fleet serving): ``U_last`` may be (N, nu, B) batch-minor —
-    each robot's previous command sequence — instead of the shared (N, nu).
+    Convention (fleet serving): relative to its shared shape, a
+    per-scenario entry gains one trailing batch axis —
+    ``U_last`` (N, nu, B) instead of (N, nu), ``X_ref`` (N+1, nx, B),
+    ``Q``/``P`` (nx, nx, B) (diagonal per scenario), ``eq_mask`` (B,)
+    instead of a scalar.
     """
     keys = set()
     if jnp.ndim(params.get("U_last", 0)) == 3:
         keys.add("U_last")
+    if jnp.ndim(params.get("X_ref", 0)) == 3:
+        keys.add("X_ref")
+    if jnp.ndim(params.get("U_ref", 0)) == 3:
+        keys.add("U_ref")
+    for k in ("Q", "P"):
+        if jnp.ndim(params.get(k, 0)) == 3:
+            keys.add(k)
+    if jnp.ndim(params.get("eq_mask", 0)) == 1:
+        keys.add("eq_mask")
     return keys
 from mmmpc_tpu.utils.configs import SolverConfig
 from mmmpc_tpu.ops.riccati import (
@@ -88,12 +100,14 @@ def _al_ilqr_solve_batched_body(ocp: OCP, x0_b, U0_b, params,
                  and ocp.lanes_fwd_factory is not None)
     if ps_keys:
         # per-scenario params ride the lanes path only when BOTH fused
-        # kernels read the batched arrays directly (ocp flag); kernels that
-        # read U_last from shared SMEM (the generic_fwd/generic_bwd
+        # kernels read the batched arrays directly (ocp flags); kernels
+        # that read them from shared SMEM (the generic_fwd/generic_bwd
         # controllers) would silently use one scenario's values
+        supported = ocp.lanes_per_scenario_keys | (
+            {"U_last"} if ocp.lanes_per_scenario_u_last else set())
         use_lanes = (use_lanes and cfg.use_fused_backward
                      and ocp.lanes_bwd_factory is not None
-                     and ocp.lanes_per_scenario_u_last)
+                     and ps_keys <= supported)
     if not use_kernel or (ps_keys and not use_lanes):
         # vmap fallback; per-scenario params entries map on their trailing
         # (batch-minor) axis
@@ -201,9 +215,10 @@ def _solve_batched_lanes(ocp: OCP, x0_b, U0_b, params,
     ps_keys = _per_scenario_keys(params)
     # core closures bind shared params; per-scenario entries get explicit
     # param-passing wrappers below (the kernels consume the batched arrays
-    # directly)
+    # directly) — the core sees scenario 0's values only for shape probing
     core_params = (params if not ps_keys
-                   else dict(params, U_last=params["U_last"][..., 0]))
+                   else dict(params,
+                             **{k: params[k][..., 0] for k in ps_keys}))
     core = build_core(ocp, core_params, cfg, dtype)
     N, nc, nct, ne = core.N, core.nc, core.nct, core.ne
     fwd_ls = ocp.lanes_fwd_factory(cfg)

@@ -62,6 +62,11 @@ def main():
             budget["ilqr_iters"] = int(a.split("=")[1])
         elif a.startswith("--ilqr-later="):
             budget["ilqr_iters_later"] = int(a.split("=")[1])
+    if "--no-kernel" in sys.argv:
+        # attribution lane: force the vmapped per-scenario solver (the
+        # pre-round-5 engine path) to separate kernel-numerics effects
+        # from engine-logic effects on completion
+        budget["use_pallas_riccati"] = False
     if budget:
         import dataclasses
         CFG = dataclasses.replace(CFG, **budget)
@@ -94,8 +99,16 @@ def main():
         shared.pop(k)
     shared = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), shared)
 
+    # Parity mode pins the solver to the host-parity vmapped path by
+    # default (the 89.55%-completion regime BASELINE.md documents; the
+    # lanes kernels land the brittle rotate-exit gates at a different
+    # knife-edge point, ~70.5%).  Recovery mode runs the fast lanes path —
+    # its re-aim/re-approach machinery retires the gate sensitivity.
+    # --lanes forces the fast path in parity mode to measure that trade.
+    host_parity = (not relax) and "--lanes" not in sys.argv
     loop_kw = (dict(rotate_exit_pos_tol=0.05, aim_at_button=True)
                if relax else {})
+    loop_kw["host_parity_solver"] = host_parity
     loop = make_batch_task_loop(
         mpc.ocp, CFG, shared, t_move=sc.t_move, t_manipulate=sc.t_manipulate,
         dt=sc.dt, n_ticks=CHUNK, ik_iters=40, **loop_kw)
@@ -151,7 +164,9 @@ def main():
         np.savez(dump_done, done=done, done_at=done_at,
                  final_phase=phase_t[:, -1])
     print(json.dumps({
-        "scenario": scenario, "mode": "relaxed-exit" if relax else "parity",
+        "scenario": scenario,
+        "mode": ("relaxed-exit" if relax
+                 else "parity" if host_parity else "parity-lanes"),
         "budget": f"al={CFG.al_iters} ilqr={CFG.ilqr_iters}"
                   f"/{CFG.ilqr_iters_later or CFG.ilqr_iters}",
         "batch": batch, "n_ticks": N_TICKS,

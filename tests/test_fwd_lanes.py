@@ -153,3 +153,104 @@ def test_lanes_per_scenario_ulast(problem, monkeypatch):
     # and differs from the shared-U_last solve (the feature has an effect)
     res_shared = al_ilqr_solve_batched(mpc.ocp, x0_b, U0_b, params, cfg)
     assert float(jnp.max(jnp.abs(res_shared.U - res_lanes.U))) > 1e-4
+
+
+@pytest.mark.slow
+def test_lanes_per_scenario_task_params(problem, monkeypatch):
+    """Fleet TASK serving: per-scenario X_ref / U_ref / Q / P / eq_mask /
+    U_last (each robot's phase owns its reference window, weight-table row
+    and terminal-equality mask — sim/batch_task_engine.py) through BOTH
+    fused kernels matches the per-scenario vmap path.
+
+    Tolerance note: the comparison is quantile-based.  A ~1e-6 float
+    reassociation in the per-candidate costs (scalar-broadcast vs tile
+    multiply) can flip near-tied line-search argmins, and one flipped
+    iterate diverges two otherwise-identical solver trajectories — the
+    same knife-edge class BASELINE.md documents for batch-vs-single
+    lowering.  Exact per-operand wiring is pinned separately by
+    test_lanes_ps_mask_invariant below."""
+    mpc, cfg, x0_b, U0_b, params = problem
+    monkeypatch.setattr(fwd_mod, "INTERPRET", True)
+    monkeypatch.setattr(bwd_mod, "INTERPRET", True)
+    monkeypatch.setattr(ric, "INTERPRET", True)
+    monkeypatch.setattr(batched_mod.jax, "default_backend", lambda: "tpu")
+
+    rng = np.random.default_rng(5)
+    # per-robot reference windows NEAR each robot's own start so the
+    # injected terminal equality is feasible (an infeasible equality puts
+    # the AL loop in the high-penalty knife-edge regime where unrelated
+    # 1e-6 differences flip line-search argmins and trajectories diverge)
+    xref_b = jnp.asarray(
+        np.moveaxis(np.asarray(x0_b), 0, -1)[None, :, :]
+        + 0.02 * rng.standard_normal((N + 1, 9, B)), F32)
+    uref_b = jnp.asarray(0.05 * rng.standard_normal((N, 5, B)), F32)
+    ulast_b = jnp.asarray(0.2 * rng.standard_normal((N, 5, B)), F32)
+    # per-robot DIAGONAL weight rows (the task engine's Wtab selections)
+    wtab = np.stack([
+        5.0 * np.diag([5, 5, 0, 0, 0, 1, 1, 1, 1.0]),
+        np.diag([5, 5, 5, 0, 0, 1, 1, 1, 1.0]),
+        np.diag([500, 500, 500, 0, 0, 1, 1, 1, 1.0]),
+    ])
+    widx = rng.integers(0, 3, B)
+    q_b = jnp.asarray(np.moveaxis(wtab[widx], 0, -1), F32)   # (9, 9, B)
+    eqm_b = jnp.asarray((rng.random(B) < 0.5).astype(np.float32))
+    params_ps = dict(params, X_ref=xref_b, U_ref=uref_b, U_last=ulast_b,
+                     Q=q_b, P=q_b, eq_mask=eqm_b)
+
+    res_lanes = al_ilqr_solve_batched(mpc.ocp, x0_b, U0_b, params_ps, cfg)
+
+    # oracle: per-scenario vmap of the scan solver with every entry mapped
+    cfg_vmap = dataclasses.replace(cfg, use_pallas_riccati=False)
+    res_ref = al_ilqr_solve_batched(mpc.ocp, x0_b, U0_b, params_ps,
+                                    cfg_vmap)
+    per_robot = np.max(np.abs(np.asarray(res_lanes.U - res_ref.U)),
+                       axis=(1, 2))
+    assert np.median(per_robot) < 1e-4
+    assert np.mean(per_robot > 5e-3) < 0.05, (
+        f"{np.mean(per_robot > 5e-3):.1%} of robots diverged > 5e-3")
+    # and differs from the shared-params solve (the features have effect)
+    res_shared = al_ilqr_solve_batched(mpc.ocp, x0_b, U0_b, params, cfg)
+    assert float(jnp.max(jnp.abs(res_shared.U - res_lanes.U))) > 1e-4
+
+
+def test_lanes_ps_mask_invariant(problem, monkeypatch):
+    """EXACT per-operand wiring check, kernel level: per-scenario all-ones
+    eq_mask / all-identical diagonal Q,P must reproduce the shared-scalar /
+    shared-dense kernel outputs on identical inputs (backward gains
+    bitwise; forward candidate costs to float-reassociation tolerance)."""
+    mpc, cfg, x0_b, U0_b, params = problem
+    monkeypatch.setattr(fwd_mod, "INTERPRET", True)
+    monkeypatch.setattr(bwd_mod, "INTERPRET", True)
+
+    rng = np.random.default_rng(9)
+    X_bm = jnp.asarray(0.1 * rng.standard_normal((N + 1, 9, B)), F32)
+    U_bm = jnp.asarray(0.1 * rng.standard_normal((N, 5, B)), F32)
+    lam_bm = jnp.abs(jnp.asarray(
+        0.1 * rng.standard_normal((N, 28, B)), F32))
+    lamt_bm = jnp.abs(jnp.asarray(0.1 * rng.standard_normal((18, B)), F32))
+    lame_bm = jnp.asarray(0.1 * rng.standard_normal((2, B)), F32)
+    kff_bm = jnp.asarray(0.01 * rng.standard_normal((N, 5, B)), F32)
+    K_bm = jnp.asarray(0.01 * rng.standard_normal((N, 5, 9, B)), F32)
+    mu, reg = 50.0, jnp.full((B,), 1e-6, F32)
+
+    wrow = np.diag([5, 5, 5, 0, 0, 1, 1, 1, 1.0])
+    p_shared = dict(params, eq_mask=jnp.asarray(1.0, F32),
+                    Q=jnp.asarray(wrow, F32), P=jnp.asarray(wrow, F32))
+    p_ps = dict(
+        params, eq_mask=jnp.ones((B,), F32),
+        Q=jnp.asarray(np.repeat(wrow[:, :, None], B, axis=2), F32),
+        P=jnp.asarray(np.repeat(wrow[:, :, None], B, axis=2), F32))
+
+    bwd = mpc.ocp.lanes_bwd_factory(cfg)
+    k1, K1 = bwd(X_bm, U_bm, lam_bm, lamt_bm, lame_bm, mu, reg, p_shared)
+    k2, K2 = bwd(X_bm, U_bm, lam_bm, lamt_bm, lame_bm, mu, reg, p_ps)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), atol=1e-6)
+
+    fwd = mpc.ocp.lanes_fwd_factory(cfg)
+    o1 = fwd(X_bm[:-1], U_bm, kff_bm, K_bm, lam_bm, lamt_bm, lame_bm, mu,
+             p_shared)
+    o2 = fwd(X_bm[:-1], U_bm, kff_bm, K_bm, lam_bm, lamt_bm, lame_bm, mu,
+             p_ps)
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
